@@ -1,0 +1,116 @@
+"""Configuration pytrees (L0).
+
+The reference hard-codes every constant inside ``MPC.__init__``
+(``bipedalLocomotionMPC.py:22-32``) and module globals (``:13-18``). Here the
+same quantities are frozen dataclass *pytrees* so that
+
+- they can be passed through ``jax.jit`` without retracing (static structure,
+  dynamic leaves), and
+- they can be **batched**: a domain-randomized population of robots/controllers
+  is simply a vmapped ``MpcConfig``/``BipedParams`` whose leaves carry a
+  leading batch axis.
+
+State convention (13,): ``[roll, pitch, yaw, px, py, pz, wx, wy, wz, vx, vy,
+vz, 1]`` with angular/linear velocity in the world frame and the constant 1 as
+the gravity-augmentation state (reference ``bipedalLocomotionMPC.py:8-10``).
+
+NOTE on Euler conventions: the reference uses TWO contradictory conventions in
+one file — ``eul2rotm`` reads the state as [roll, pitch, yaw]
+(``bipedalLocomotionMPC.py:124``) while ``get_simplified_dynamics`` reads
+[yaw, pitch, roll] (``:151-153``). Both build the same matrix
+``Rz(yaw)@Ry(pitch)@Rx(roll)``. This framework canonicalizes on
+**state[0:3] = [roll, pitch, yaw]** everywhere; the two references agree at
+zero attitude (the reference's only exercised configuration).
+
+Control input (12,): ``[f_left(3), f_right(3), m_left(3), m_right(3)]``
+(reference ``bipedalLocomotionMPC.py:10``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class MpcConfig:
+    """MPC horizon/weight/gain configuration.
+
+    Mirrors reference ``class MPC`` (``bipedalLocomotionMPC.py:22-32``).
+    ``h`` and ``n_admm_iters`` are static (pytree_node=False) so they fix
+    trace-time shapes; everything else is a dynamic leaf and vmap-able.
+    """
+
+    # horizon length (static: determines QP shapes)
+    h: int = struct.field(pytree_node=False, default=10)
+    # MPC timestep [s]
+    dt: float = 0.04
+    # commanded state [roll,pitch,yaw, px,py,pz, wx,wy,wz, vx,vy,vz]
+    x_cmd: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array(
+            [0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0, 0, 0], dtype=jnp.float32
+        )
+    )
+    # state tracking weights (13,)
+    Q: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array(
+            [500, 100, 100, 300, 300, 700, 1, 1, 1, 1, 1, 1, 1],
+            dtype=jnp.float32,
+        )
+    )
+    # control effort weights (12,)
+    R: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.full((12,), 1e-4, dtype=jnp.float32)
+    )
+    # Raibert foot-placement feedback gain
+    kv: float = 0.01
+    # swing-leg cartesian PD gains (isotropic; reference uses 500*I3 / 10*I3)
+    kp_swing: float = 500.0
+    kd_swing: float = 10.0
+    # swing apex height [m]
+    swing_height: float = 0.1
+    # --- solver settings (no reference analog; cvxopt defaults there) ---
+    # number of ADMM iterations (static: unrolled/scanned at trace time)
+    n_admm_iters: int = struct.field(pytree_node=False, default=60)
+    # ADMM penalty / regularization
+    admm_rho: float = 8.0
+    admm_sigma: float = 1e-6
+    # over-relaxation parameter
+    admm_alpha: float = 1.6
+    # --- compat flags (documented deviations from the reference) ---
+    # reference ``:87`` computes foot_des_y_2 from x_fb[10] where the pattern
+    # implies x_fb[4] (SURVEY.md C5). False = corrected behavior (default);
+    # True = replicate the reference defect bit-for-bit.
+    compat_foot_ref_bug: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def nx(self) -> int:
+        return 13
+
+    @property
+    def nu(self) -> int:
+        return 12
+
+
+@struct.dataclass
+class GaitConfig:
+    """Walking-gait schedule configuration.
+
+    The reference hard-codes a 20-entry two-contact pattern with 5-step stance
+    phases (``bipedalLocomotionMPC.py:50-59``). Here the pattern is derived
+    from ``steps_per_phase`` so other cadences are expressible; the default
+    reproduces the reference exactly.
+
+    gait_mode: 1 = walking, 0 = standing (reference ``:18, 481-484``).
+    """
+
+    # MPC steps per single-stance phase (reference: 5)
+    steps_per_phase: int = struct.field(pytree_node=False, default=5)
+    # 1 = walking (alternating single stance), 0 = standing (double stance)
+    gait_mode: int = 1
+
+
+def default_mpc_config(**overrides) -> MpcConfig:
+    return dataclasses.replace(MpcConfig(), **overrides)
