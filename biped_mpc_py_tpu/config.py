@@ -74,8 +74,12 @@ class MpcConfig:
     # --- solver settings (no reference analog; cvxopt defaults there) ---
     # number of ADMM iterations (static: unrolled/scanned at trace time)
     n_admm_iters: int = struct.field(pytree_node=False, default=60)
-    # ADMM penalty / regularization
-    admm_rho: float = 8.0
+    # initial ADMM penalty on the Ruiz-equilibrated problem
+    admm_rho: float = 0.3
+    # number of rho-adaptation phases (static: one refactorization each)
+    admm_rho_phases: int = struct.field(pytree_node=False, default=3)
+    # OSQP-style active-set polish after the fixed iterations (static flag)
+    admm_polish: bool = struct.field(pytree_node=False, default=True)
     admm_sigma: float = 1e-6
     # over-relaxation parameter
     admm_alpha: float = 1.6

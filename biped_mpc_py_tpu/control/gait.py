@@ -1,0 +1,39 @@
+"""Gait scheduling (L3/C3): contact sequence over the MPC horizon.
+
+The reference slides a 10-step window over a hard-coded 20-row walking table
+with a Python slice (``bipedalLocomotionMPC.py:50-59``) — not jit-able. The
+table is exactly periodic with period ``2*steps_per_phase``, so here the
+window is computed in closed form from modular arithmetic on a traced time
+``t``: branch-free, vmap-able over batched ``t``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+
+
+def phase_index(t, mpc: MpcConfig) -> jnp.ndarray:
+    """Absolute MPC step index ``phase = floor(t / dt)`` (reference ``:56``)."""
+    return jnp.floor(jnp.asarray(t) / mpc.dt).astype(jnp.int32)
+
+
+def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
+    """Contact flags over the horizon -> (h, 2) in {0., 1.}.
+
+    Walking (gait_mode=1): left foot in stance iff
+    ``(step mod 2p) < p`` with ``p = steps_per_phase``; right is the
+    complement. With p=5, h=10 this reproduces the reference table
+    (``bipedalLocomotionMPC.py:52-58``) for every start step k — the 20-row
+    table is two periods of this rule.
+
+    Standing (gait_mode=0): both feet in stance (reference ``:483-484``).
+    """
+    p = gait.steps_per_phase
+    k = phase_index(t, mpc) % mpc.h
+    steps = k + jnp.arange(mpc.h, dtype=jnp.int32)
+    left = ((steps % (2 * p)) < p).astype(jnp.float32)
+    walking = jnp.stack([left, 1.0 - left], axis=-1)
+    standing = jnp.ones((mpc.h, 2), jnp.float32)
+    return jnp.where(jnp.asarray(gait.gait_mode) == 1, walking, standing)

@@ -1,0 +1,54 @@
+"""MPC hot path (L4): references -> linearization -> condensed QP -> solve.
+
+Equivalent of the reference's ``solve_mpc`` (``bipedalLocomotionMPC.py:
+187-304``), as one pure jittable function. Differences by design:
+
+- the per-step linearization loop (``:197-200``) is a horizon vmap;
+- the 250-var sparse QP + cvxopt IPM (``:203-297``) is a 120-var condensed
+  dense QP + fixed-iteration on-device ADMM (see ops/qp.py for why this is
+  the TPU-correct formulation);
+- no prints, no host transfers: the whole thing traces into the caller's XLA
+  program and vmaps over env batches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import MpcConfig
+from biped_mpc_py_tpu.control.reference import com_reference, foot_reference
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.models.srb import linearize_horizon
+from biped_mpc_py_tpu.ops.qp import CondensedQp, QpSolution, condense, solve_qp
+
+
+def build_mpc_qp(
+    x_fb: jnp.ndarray,
+    t,
+    foot: jnp.ndarray,
+    mpc: MpcConfig,
+    biped: BipedParams,
+    contact: jnp.ndarray,
+) -> CondensedQp:
+    """Assemble the condensed MPC QP for one tick (no solve)."""
+    x_ref = com_reference(x_fb, mpc)
+    foot_ref = foot_reference(x_fb, t, foot, mpc, contact)
+    A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
+    return condense(mpc, biped, x_fb, x_ref, A, B, contact)
+
+
+def solve_mpc(
+    x_fb: jnp.ndarray,
+    t,
+    foot: jnp.ndarray,
+    mpc: MpcConfig,
+    biped: BipedParams,
+    contact: jnp.ndarray,
+    warm: QpSolution | None = None,
+) -> QpSolution:
+    """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
+    controls, ADMM iterates (reusable as next tick's warm start), and
+    primal/dual residuals (the failure-detection signal the reference never
+    checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
+    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact)
+    return solve_qp(qp, mpc, warm)

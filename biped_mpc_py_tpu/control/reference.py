@@ -1,0 +1,101 @@
+"""Reference-trajectory generation (L3/C4, C5).
+
+CoM reference: the reference's per-element Python branch ``if x_cmd[i+6] != 0``
+(``bipedalLocomotionMPC.py:61-70``) becomes an elementwise ``jnp.where`` over
+the whole (13, h) block — one fused VPU op instead of a 54-iteration loop.
+
+Foot reference: the reference's phase-dependent ``np.tile`` concatenation
+(``:99-108``) becomes a per-column select on ``arange(h)`` — branch-free and
+differentiable in everything but the (intentionally) discrete phase index.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import MpcConfig
+from biped_mpc_py_tpu.control.gait import phase_index
+
+
+def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
+    """CoM/state reference over the horizon -> (13, h).
+
+    Parity: reference ``get_reference_trajectory``
+    (``bipedalLocomotionMPC.py:61-70``): column 0 is the feedback state; for
+    pose entries i<6, later columns integrate the commanded velocity
+    ``x_cmd[i+6]`` from the *measured* pose when that velocity is nonzero,
+    else hold the commanded pose. Velocity entries hold ``x_cmd[6:12]``; the
+    13th (gravity) state is 1.
+    """
+    h = mpc.h
+    ks = jnp.arange(h, dtype=x_fb.dtype)  # (h,)
+    v_cmd = mpc.x_cmd[6:12]  # (6,)
+    pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
+    pose_hold = jnp.broadcast_to(mpc.x_cmd[:6, None], (6, h))
+    pose = jnp.where(v_cmd[:, None] != 0, pose_int, pose_hold)
+    vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
+    ones = jnp.ones((1, h), x_fb.dtype)
+    x_ref = jnp.concatenate([pose, vel, ones], axis=0)
+    # column 0 = feedback state (reference ``:63``)
+    x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), x_fb.dtype)])
+    return x_ref.at[:, 0].set(x0)
+
+
+def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
+    """Raibert-style foot target: p + v·T/2 + kv·(p - p_cmd), per axis.
+
+    ``lookahead`` is the stance-time horizon T (reference uses h/2·dt and
+    h·dt, ``bipedalLocomotionMPC.py:73-89``).
+    """
+    fx = x_fb[3] + x_fb[9] * 0.5 * lookahead + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
+    fy = x_fb[4] + x_fb[10] * 0.5 * lookahead + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
+    return fx, fy
+
+
+def foot_reference(
+    x_fb: jnp.ndarray,
+    t,
+    foot: jnp.ndarray,
+    mpc: MpcConfig,
+    contact: jnp.ndarray,
+    steps_per_phase: int = 5,
+) -> jnp.ndarray:
+    """Foot-position reference over the horizon -> (6, h).
+
+    Parity: reference ``get_reference_foot_trajectory``
+    (``bipedalLocomotionMPC.py:72-109``). Columns hold: the current feet for
+    the remaining ``p - kk`` steps of this stance phase, the half-horizon
+    Raibert target for the next phase (p columns), then the full-horizon
+    target (kk columns). Falls back to tiling the current feet when the first
+    horizon step is not single-stance.
+
+    Known reference defect (``:87``): ``foot_des_y_2`` starts from
+    ``x_fb[10]`` (lateral velocity) where the pattern implies ``x_fb[4]``
+    (lateral position). Corrected by default; set
+    ``mpc.compat_foot_ref_bug=True`` to replicate bit-for-bit.
+    """
+    h, p = mpc.h, steps_per_phase
+    fx1, fy1 = _raibert_xy(x_fb, mpc, 0.5 * mpc.h * mpc.dt)
+    fx2, fy2 = _raibert_xy(x_fb, mpc, 1.0 * mpc.h * mpc.dt)
+    if mpc.compat_foot_ref_bug:
+        # reference ``:87``: x_fb[10] in place of x_fb[4]
+        fy2 = (
+            x_fb[10]
+            + x_fb[10] * 0.5 * mpc.h * mpc.dt
+            + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
+        )
+    zero = jnp.zeros_like(fx1)
+    foot_1 = jnp.stack([fx1, fy1, zero, fx1, fy1, zero])  # (6,)
+    foot_2 = jnp.stack([fx2, fy2, zero, fx2, fy2, zero])
+
+    kk = (phase_index(t, mpc) % mpc.h) % p
+    cols = jnp.arange(h, dtype=jnp.int32)
+    # selector: 0 = current foot, 1 = foot_1, 2 = foot_2
+    sel = (cols >= (p - kk)).astype(jnp.int32) + (cols >= (2 * p - kk)).astype(
+        jnp.int32
+    )
+    stacked = jnp.stack([foot, foot_1, foot_2], axis=0)  # (3, 6)
+    walking_ref = stacked[sel].T  # (6, h)
+    tiled = jnp.broadcast_to(foot[:, None], (6, h))
+    single_stance = jnp.sum(contact[0, :]) == 1
+    return jnp.where(single_stance, walking_ref, tiled)

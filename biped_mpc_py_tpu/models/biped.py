@@ -118,6 +118,14 @@ class BipedParams:
     )
     # leg geometry (static structure, dynamic leaves)
     leg: LegGeometry = struct.field(default_factory=lambda: HECTOR_LEG_FK)
+    # optional separate geometry for Jacobians. None (default) = use ``leg``
+    # (self-consistent). Parity tests set ``leg_jac=HECTOR_LEG_JAC`` to
+    # replicate the reference's FK/Jacobian mismatch exactly.
+    leg_jac: LegGeometry | None = None
+
+    @property
+    def jac_geometry(self) -> LegGeometry:
+        return self.leg if self.leg_jac is None else self.leg_jac
 
     @property
     def I_body(self) -> jnp.ndarray:

@@ -155,7 +155,7 @@ def foot_velocities_world(
     sides = jnp.array([1.0, -1.0], dtype=q.dtype)
 
     def one_leg(q5, qd5, side):
-        _, jf = leg_jacobians(q5, side, biped.leg)
+        _, jf = leg_jacobians(q5, side, biped.jac_geometry)
         return R.T @ (jf @ qd5)
 
     return jax.vmap(one_leg)(q.reshape(2, 5), qd.reshape(2, 5), sides)

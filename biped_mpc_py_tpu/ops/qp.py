@@ -1,0 +1,419 @@
+"""MPC QP assembly + on-device solver (L4/C8, C9) — TPU-first design.
+
+The reference assembles a sparse 250-variable QP (stacked states AND controls,
+130 equality + 360 inequality rows, ``bipedalLocomotionMPC.py:187-286``) and
+ships it to cvxopt's dense interior-point solver in C (``:297``) — ~150-400 ms
+per tick (BASELINE.md). That design is wrong for TPU: interior-point methods
+branch on line searches, and sparse triangular solves starve the MXU.
+
+This module does it the TPU way:
+
+1. **Lossless condensation** (:func:`condense`). Every reference inequality
+   touches only the controls (the state columns of A_mu/A_f/A_LF are all
+   zero, ``:231,237,267``), and the equalities are exactly the dynamics — so
+   eliminating the states via ``X = Sx·x0 + Su·U`` is an *exact* reformulation:
+   a 120-variable strictly-convex dense QP whose 240 constraint rows are
+   block-diagonal per horizon step. Small dense matrices are what the MXU
+   eats.
+
+2. **Box/two-sided rows**. The reference encodes box bounds as 24 one-sided
+   rows per step (``:234-251``); we use 12 two-sided rows ``l_k <= u_k <=
+   u_k`` (OSQP form), halving the constraint block: per step
+   ``A_step (24,12) = [friction(8); I12; line-foot(4)]``, identical across
+   steps — only the bounds vary with contact.
+
+3. **ADMM (BoxOSQP-style) solve** (:func:`solve_qp`). The KKT matrix
+   ``K = P + sigma·I + rho·blkdiag(A_stepᵀA_step)`` is inverted ONCE per tick
+   (Cholesky, 120×120); each of the fixed ``n_admm_iters`` iterations is then
+   two small matmuls + a clip — no branches, no data-dependent control flow,
+   so the whole solve jits, vmaps over thousands of envs, and runs as batched
+   MXU einsums (SURVEY.md §2 parallelism axis 3).
+
+Warm starting across ticks is free: pass the previous :class:`QpSolution`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from biped_mpc_py_tpu.config import MpcConfig
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.rotations import eul2rotm
+
+_BIG = 1e20  # stand-in for +inf in one-sided rows (f32-safe)
+
+
+@struct.dataclass
+class CondensedQp:
+    """A condensed MPC QP instance (one env; vmap for a batch)."""
+
+    P: jnp.ndarray  # (120,120) cost Hessian (strictly PD)
+    q: jnp.ndarray  # (120,)
+    A_step: jnp.ndarray  # (24,12) per-step constraint rows
+    l: jnp.ndarray  # (h,24) lower bounds
+    u: jnp.ndarray  # (h,24) upper bounds
+    Sx: jnp.ndarray  # (h,13,13) free response maps
+    Su: jnp.ndarray  # (h,13,12h) forced response map
+    x0: jnp.ndarray  # (13,) initial augmented state
+
+
+@struct.dataclass
+class QpSolution:
+    """ADMM iterates + recovered trajectories (doubles as warm-start state)."""
+
+    controls: jnp.ndarray  # (h,12)
+    states: jnp.ndarray  # (h,13)
+    z: jnp.ndarray  # (h,24) constraint-space iterate
+    y: jnp.ndarray  # (h,24) dual iterate
+    res_prim: jnp.ndarray  # scalar, ||A u - z||_inf
+    res_dual: jnp.ndarray  # scalar, ||P u + q + A^T y||_inf
+
+
+def friction_rows(mu) -> jnp.ndarray:
+    """Friction-pyramid rows (8,12): ±f_{x,y} - mu·f_z <= 0 per foot.
+
+    Parity: reference ``A_mu1`` (``bipedalLocomotionMPC.py:220-229``).
+    """
+    mu = jnp.asarray(mu, jnp.float32)
+    F = jnp.zeros((8, 12), jnp.float32)
+    for foot in range(2):
+        o = 3 * foot
+        F = F.at[4 * foot + 0, o + 0].set(1.0)
+        F = F.at[4 * foot + 1, o + 1].set(1.0)
+        F = F.at[4 * foot + 2, o + 0].set(-1.0)
+        F = F.at[4 * foot + 3, o + 1].set(-1.0)
+        F = F.at[4 * foot : 4 * foot + 4, o + 2].set(-mu)
+    return F
+
+
+def line_foot_rows(biped: BipedParams, R: jnp.ndarray) -> jnp.ndarray:
+    """Line-foot (toe/heel rollover) rows (4,12).
+
+    Parity: reference ``A_LF1`` (``bipedalLocomotionMPC.py:253-263``): with
+    shrunk lever arms lt' = lt-0.01, lh' = lh-0.02, body-frame y-moment vs
+    z-force through the current attitude R:
+      -lh'·(e3ᵀRᵀ)·f + (e2ᵀRᵀ)·m <= 0   (heel)
+      -lt'·(e3ᵀRᵀ)·f - (e2ᵀRᵀ)·m <= 0   (toe)      for each foot.
+    """
+    lt = biped.lt - 0.01
+    lh = biped.lh - 0.02
+    a = R[2, :]  # e3ᵀ Rᵀ = third row of R... of R? e3ᵀRᵀ = (R e3)ᵀ? No:
+    # [0,0,1] @ R.T picks the third COLUMN of R.T^T = third row of R? Let's be
+    # exact: ([0,0,1] @ R.T)_j = R.T[2->? ; actually ([0,0,1]@R.T)_j =
+    # sum_k e3_k R.T[k,j] = R.T[2,j] = R[j,2] -> third COLUMN of R.
+    a = R[:, 2]
+    b = R[:, 1]  # [0,1,0] @ R.T = second column of R
+    z3 = jnp.zeros(3, R.dtype)
+    rows = jnp.stack(
+        [
+            jnp.concatenate([-lh * a, z3, b, z3]),
+            jnp.concatenate([-lt * a, z3, -b, z3]),
+            jnp.concatenate([z3, -lh * a, z3, b]),
+            jnp.concatenate([z3, -lt * a, z3, -b]),
+        ]
+    )
+    return rows
+
+
+def constraint_bounds(biped: BipedParams, contact: jnp.ndarray):
+    """Per-step bounds (l, u), each (h, 24), contact-gated.
+
+    Rows 0:8 friction (one-sided <= 0), 8:20 box on u (two-sided, reference
+    ``:239-250``), 20:24 line-foot (one-sided <= 0). Swing feet get [0, 0]
+    boxes (f_min = 0, tau scaled to 0), pinning their wrench to zero exactly
+    as the reference's gated bounds do.
+    """
+    h = contact.shape[0]
+    c = contact  # (h,2)
+    ub_box = jnp.concatenate(
+        [
+            c[:, 0:1] * biped.f_max[None, :],
+            c[:, 1:2] * biped.f_max[None, :],
+            c[:, 0:1] * biped.tau_max[None, :],
+            c[:, 1:2] * biped.tau_max[None, :],
+        ],
+        axis=1,
+    )  # (h,12)
+    lb_box = jnp.concatenate(
+        [
+            c[:, 0:1] * biped.f_min[None, :],
+            c[:, 1:2] * biped.f_min[None, :],
+            c[:, 0:1] * (-biped.tau_max[None, :]),
+            c[:, 1:2] * (-biped.tau_max[None, :]),
+        ],
+        axis=1,
+    )
+    ones = jnp.ones((h, 8), ub_box.dtype)
+    l = jnp.concatenate([-_BIG * ones, lb_box, -_BIG * ones[:, :4]], axis=1)
+    u = jnp.concatenate([0.0 * ones, ub_box, 0.0 * ones[:, :4]], axis=1)
+    return l, u
+
+
+def condense(
+    mpc: MpcConfig,
+    biped: BipedParams,
+    x_fb: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    contact: jnp.ndarray,
+) -> CondensedQp:
+    """Build the condensed QP from the horizon linearization.
+
+    Dynamics convention (reference ``:203-216``): X_0 = A_0·x0 + B_0·u_0 and
+    X_k = A_k·X_{k-1} + B_k·u_k, so ``Sx[k] = A_k···A_0`` and
+    ``Su[k, :, 12j:12j+12] = A_k···A_{j+1}·B_j`` (j <= k). Cost tracks
+    ``x_ref[:, k]`` at X_k with weights diag(Q), plus diag(R) on u (reference
+    ``:277-286``; the factor 2 cancels in the minimizer).
+
+    Args:
+      x_fb: (12,) feedback state (augmented internally).
+      x_ref: (13,h) state reference.
+      A: (h,13,13), B: (h,13,12) from :func:`linearize_horizon`.
+    """
+    h, nx, nu = mpc.h, 13, 12
+    dtype = A.dtype
+    x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), dtype)])
+
+    # forward accumulation of the prediction maps (h is small + static:
+    # unrolled at trace time, XLA fuses the 13x13 chains)
+    sx_rows = []
+    su_rows = []
+    su_prev = jnp.zeros((nx, nu * h), dtype)
+    sx_prev = jnp.eye(nx, dtype=dtype)
+    for k in range(h):
+        sx_k = A[k] @ sx_prev
+        su_k = A[k] @ su_prev if k > 0 else su_prev
+        su_k = jax.lax.dynamic_update_slice(su_k, B[k], (0, nu * k))
+        sx_rows.append(sx_k)
+        su_rows.append(su_k)
+        sx_prev, su_prev = sx_k, su_k
+    Sx = jnp.stack(sx_rows)  # (h,13,13)
+    Su = jnp.stack(su_rows)  # (h,13,120)
+
+    Qd = jnp.asarray(mpc.Q, dtype)  # (13,)
+    Rd = jnp.asarray(mpc.R, dtype)  # (12,)
+    # P = Suᵀ Q̄ Su + R̄ ; q = Suᵀ Q̄ (Sx x0 - xref)
+    SuQ = Su * Qd[None, :, None]  # (h,13,120)
+    Su_flat = Su.reshape(h * nx, nu * h)
+    SuQ_flat = SuQ.reshape(h * nx, nu * h)
+    P = SuQ_flat.T @ Su_flat + jnp.diag(jnp.tile(Rd, h))
+    free = jnp.einsum("kij,j->ki", Sx, x0) - x_ref.T  # (h,13)
+    q = SuQ_flat.T @ free.reshape(h * nx)
+
+    R = eul2rotm(x_fb[0:3])
+    A_step = jnp.concatenate(
+        [friction_rows(biped.mu).astype(dtype), jnp.eye(nu, dtype=dtype),
+         line_foot_rows(biped, R).astype(dtype)],
+        axis=0,
+    )
+    l, u = constraint_bounds(biped, contact)
+    return CondensedQp(P=P, q=q, A_step=A_step, l=l.astype(dtype),
+                       u=u.astype(dtype), Sx=Sx, Su=Su, x0=x0)
+
+
+def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
+    """Ruiz equilibration of the condensed QP (modified-Ruiz, as in OSQP).
+
+    The raw MPC problem is badly scaled (P entries ~1e-4 from R, bounds
+    ~5e2 N) — first-order methods stall on it. Returns scaled quantities and
+    the diagonal scalings:
+
+      P̂ = c·D P D,  q̂ = c·D q,  Â_k = E_k A_step D_k,  l̂ = E l,  û = E u
+
+    with D (h,12) variable scaling, E (h,24) row scaling, c cost scaling.
+    Fixed iteration count -> trace-friendly, vmappable.
+    """
+    h, m, nu = qp.l.shape[0], qp.A_step.shape[0], 12
+    dtype = qp.P.dtype
+    P, q = qp.P, qp.q
+    A = jnp.broadcast_to(qp.A_step[None], (h, m, nu))  # (h,24,12)
+    D = jnp.ones((h, nu), dtype)
+    E = jnp.ones((h, m), dtype)
+    c = jnp.asarray(1.0, dtype)
+    Ph, Ah = P, A
+
+    def body(carry, _):
+        Ph, Ah, D, E, c = carry
+        # column norms over stacked [P; A] per variable (h*nu,)
+        colP = jnp.max(jnp.abs(Ph), axis=0).reshape(h, nu)
+        colA = jnp.max(jnp.abs(Ah), axis=1)  # (h,nu)
+        col = jnp.sqrt(jnp.maximum(jnp.maximum(colP, colA), 1e-8))
+        d = 1.0 / col
+        rowA = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ah), axis=2), 1e-8))
+        e = 1.0 / rowA
+        d_flat = d.reshape(-1)
+        Ph = Ph * d_flat[:, None] * d_flat[None, :]
+        Ah = Ah * e[:, :, None] * d[:, None, :]
+        # cost scaling: mean column norm of P toward 1
+        gamma = 1.0 / jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ph), axis=0)), 1e-8)
+        Ph = Ph * gamma
+        return (Ph, Ah, D * d, E * e, c * gamma), None
+
+    (Ph, Ah, D, E, c), _ = jax.lax.scan(
+        body, (Ph, Ah, D, E, c), None, length=n_iters
+    )
+    qh = c * D.reshape(-1) * q
+    lh = E * qp.l
+    uh = E * qp.u
+    return Ph, qh, Ah, lh, uh, D, E, c
+
+
+def solve_qp(
+    qp: CondensedQp, mpc: MpcConfig, warm: QpSolution | None = None
+) -> QpSolution:
+    """Fixed-iteration ADMM (BoxOSQP) solve of the condensed QP.
+
+    Replaces cvxopt's interior point (reference ``:297``). After Ruiz
+    equilibration, the iteration
+
+        v   <- Kinv @ (sigma·x - q + Aᵀ(rho·z - y))
+        x   <- alpha·v + (1-alpha)·x          (over-relaxation)
+        z   <- clip(A v_relax + y/rho, l, u)
+        y   <- y + rho·(A v_relax - z)
+
+    uses a per-tick precomputed dense inverse of
+    ``K = P + sigma I + blkdiag(Â_kᵀ rho_k Â_k)`` so every iteration is
+    matmul+clip: branch-free, fuses under jit, batches under vmap (the
+    batched iteration is one (b,120,120)x(b,120) MXU contraction).
+    """
+    h, nu, m = mpc.h, 12, qp.A_step.shape[0]
+    dtype = qp.P.dtype
+    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(qp)
+
+    sigma = jnp.asarray(mpc.admm_sigma, dtype)
+    alpha = jnp.asarray(mpc.admm_alpha, dtype)
+    is_eq = (uh - lh) < 1e-6
+    idx = jnp.arange(h * nu).reshape(h, nu)
+    qh_steps = qh.reshape(h, nu)
+    eyeN = jnp.eye(nu * h, dtype=dtype)
+
+    if warm is None:
+        x = jnp.zeros((h, nu), dtype)
+        z = jnp.zeros((h, m), dtype)
+        y = jnp.zeros((h, m), dtype)
+    else:
+        # map unscaled warm iterates into the scaled space
+        x = warm.controls.astype(dtype) / D
+        z = E * warm.z.astype(dtype)
+        y = c * warm.y.astype(dtype) / E
+
+    def run_phase(x, z, y, rho, n_iters):
+        """Factor K for this rho and run n_iters ADMM steps (one scan)."""
+        rho_vec = jnp.where(is_eq, rho * 1e3, rho)  # (h,m)
+        AtRA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_vec, Ah)  # (h,12,12)
+        K = (Ph + sigma * eyeN).at[idx[:, :, None], idx[:, None, :]].add(AtRA)
+        # dense inverse once per phase -> iterations are pure matmuls
+        L = jnp.linalg.cholesky(K)
+        Kinv = jax.scipy.linalg.cho_solve((L, True), eyeN)
+
+        def iteration(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - qh_steps + jnp.einsum(
+                "kji,kj->ki", Ah, rho_vec * z - y
+            )
+            v = (Kinv @ rhs.reshape(-1)).reshape(h, nu)
+            x_new = alpha * v + (1 - alpha) * x
+            Av = jnp.einsum("kij,kj->ki", Ah, v)
+            z_tilde = alpha * Av + (1 - alpha) * z
+            z_new = jnp.clip(z_tilde + y / rho_vec, lh, uh)
+            y_new = y + rho_vec * (z_tilde - z_new)
+            return (x_new, z_new, y_new), None
+
+        return jax.lax.scan(iteration, (x, z, y), None, length=n_iters)[0]
+
+    # OSQP-style rho adaptation on a fixed schedule: split the iteration
+    # budget into phases; between phases re-pick rho from the scaled
+    # primal/dual residual ratio and refactor (trace-friendly: static phase
+    # count, traced rho).
+    n_phases = mpc.admm_rho_phases
+    iters_per_phase = max(1, mpc.n_admm_iters // n_phases)
+    rho = jnp.asarray(mpc.admm_rho, dtype)
+    for p in range(n_phases):
+        x, z, y = run_phase(x, z, y, rho, iters_per_phase)
+        if p < n_phases - 1:
+            Av = jnp.einsum("kij,kj->ki", Ah, x)
+            Px = (Ph @ x.reshape(-1)).reshape(h, nu)
+            Aty = jnp.einsum("kji,kj->ki", Ah, y)
+            eps = jnp.asarray(1e-8, dtype)
+            rp = jnp.max(jnp.abs(Av - z)) / (
+                jnp.maximum(jnp.max(jnp.abs(Av)), jnp.max(jnp.abs(z))) + eps
+            )
+            rd = jnp.max(jnp.abs(Px + qh_steps + Aty)) / (
+                jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+                    jnp.max(jnp.abs(qh_steps)),
+                )
+                + eps
+            )
+            rho = jnp.clip(rho * jnp.sqrt(rp / (rd + eps)), 1e-4, 1e3)
+
+    if mpc.admm_polish:
+        # OSQP-style polish: detect the active set from the converged
+        # iterates, then solve the equality-constrained QP on that set by an
+        # augmented-Lagrangian penalty with ONE extra factorization and 3
+        # multiplier updates (re-using the factor). Reaches the f32 accuracy
+        # floor (~1e-4 relative); branch-free — a wrong active set is
+        # rejected by the violation check below.
+        tol = 1e-5
+        w_act = ((z <= lh + tol) | (z >= uh - tol)).astype(dtype)  # (h,24)
+        b_act = jnp.clip(z, lh, uh)
+        rho_pol = jnp.asarray(1e4, dtype)
+        AtWA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_pol * w_act, Ah)
+        K_pol = Ph + sigma * jnp.eye(nu * h, dtype=dtype)
+        K_pol = K_pol.at[idx[:, :, None], idx[:, None, :]].add(AtWA)
+        L_pol = jnp.linalg.cholesky(K_pol)
+
+        def al_step(carry, _):
+            _, lam = carry
+            rhs = -qh_steps + jnp.einsum(
+                "kji,kj->ki", Ah, w_act * (rho_pol * b_act - lam)
+            )
+            x_p = jax.scipy.linalg.cho_solve(
+                (L_pol, True), rhs.reshape(-1)
+            ).reshape(h, nu)
+            r = (jnp.einsum("kij,kj->ki", Ah, x_p) - b_act) * w_act
+            return (x_p, lam + rho_pol * r), None
+
+        (x_pol, lam), _ = jax.lax.scan(
+            al_step, (x, jnp.zeros_like(b_act)), None, length=3
+        )
+        # accept polish only if it wins on an exact-penalty merit
+        # (objective + stiff constraint violation): a mis-detected active set
+        # yields a feasible-but-suboptimal point, which this rejects
+        def merit(v):
+            Av = jnp.einsum("kij,kj->ki", Ah, v)
+            viol = jnp.sum(jnp.abs(Av - jnp.clip(Av, lh, uh)))
+            vf = v.reshape(-1)
+            obj = 0.5 * vf @ (Ph @ vf) + qh @ vf
+            return obj + 1e4 * viol
+
+        accept = merit(x_pol) <= merit(x)
+        # update x and z together so the stored pair stays consistent
+        # (z = A x̂*); keep the ADMM duals y — the AL multipliers satisfy
+        # stationarity but can carry wrong SIGNS on degenerate active sets
+        # (e.g. a swing foot's friction rows are linearly dependent with its
+        # zero force box), which poisons warm starts
+        Av_pol = jnp.einsum("kij,kj->ki", Ah, x_pol)
+        x = jnp.where(accept, x_pol, x)
+        z = jnp.where(accept, jnp.clip(Av_pol, lh, uh), z)
+
+    # unscale (scaled stationarity cDPD·x̂ + cDq + DAᵀE·ŷ = 0 implies the
+    # unscaled dual is y = E·ŷ/c)
+    x_u = D * x  # (h,12)
+    z_u = z / E
+    y_u = E * y / c
+
+    U = x_u.reshape(-1)
+    states = jnp.einsum("kij,j->ki", qp.Sx, qp.x0) + (qp.Su @ U)
+    Ax = jnp.einsum("ij,kj->ki", qp.A_step, x_u)
+    res_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, qp.l, qp.u)))
+    res_dual = jnp.max(
+        jnp.abs(qp.P @ U + qp.q + jnp.einsum("ji,kj->ki", qp.A_step, y_u).reshape(-1))
+    )
+    return QpSolution(
+        controls=x_u, states=states, z=z_u, y=y_u,
+        res_prim=res_prim, res_dual=res_dual,
+    )

@@ -1,0 +1,113 @@
+"""L3 planning: gait schedule + CoM/foot reference parity (C3, C4, C5)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.reference import com_reference, foot_reference
+
+from tests._reference import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not mounted"
+)
+
+
+def test_contact_sequence_matches_reference_all_phases():
+    ref, _ = load_reference()
+    mpc = MpcConfig()
+    gait = GaitConfig()
+    ref_mpc = ref.MPC()
+    for step in range(25):
+        t = step * 0.04 + 0.001
+        c_ref = ref.get_contact_sequence(t, ref_mpc)
+        c_new = np.array(contact_sequence(t, mpc, gait))
+        np.testing.assert_array_equal(c_new, c_ref, err_msg=f"t={t}")
+
+
+def test_contact_sequence_standing():
+    c = np.array(contact_sequence(0.12, MpcConfig(), GaitConfig(gait_mode=0)))
+    np.testing.assert_array_equal(c, np.ones((10, 2)))
+
+
+def test_contact_sequence_jit_vmap():
+    mpc, gait = MpcConfig(), GaitConfig()
+    ts = jnp.arange(16) * 0.04
+    cs = jax.jit(jax.vmap(lambda t: contact_sequence(t, mpc, gait)))(ts)
+    assert cs.shape == (16, 10, 2)
+    # complementary single stance at every step
+    np.testing.assert_array_equal(np.array(cs.sum(-1)), np.ones((16, 10)))
+
+
+def test_com_reference_matches_reference(rng):
+    ref, _ = load_reference()
+    mpc = MpcConfig()
+    ref_mpc = ref.MPC()
+    for _ in range(5):
+        x_fb = rng.normal(size=12) * 0.3
+        r_ref = ref.get_reference_trajectory(x_fb, ref_mpc)
+        r_new = np.array(com_reference(jnp.asarray(x_fb, jnp.float64), mpc))
+        np.testing.assert_allclose(r_new, r_ref, atol=1e-6)
+
+
+def test_com_reference_velocity_command_integration(rng):
+    # nonzero commanded velocity -> pose integrates from feedback
+    ref, _ = load_reference()
+    ref_mpc = ref.MPC()
+    x_cmd = np.array([0, 0, 0.3, 0, 0, 0.55, 0, 0, 0.5, 0.4, 0.0, 0], float)
+    ref_mpc.x_cmd = x_cmd
+    mpc = dataclasses.replace(MpcConfig(), x_cmd=jnp.asarray(x_cmd))
+    x_fb = rng.normal(size=12) * 0.2
+    r_ref = ref.get_reference_trajectory(x_fb, ref_mpc)
+    r_new = np.array(com_reference(jnp.asarray(x_fb), mpc))
+    np.testing.assert_allclose(r_new, r_ref, atol=1e-5)
+
+
+def test_foot_reference_matches_reference_compat(rng):
+    # compat_foot_ref_bug=True replicates the reference bit-for-bit,
+    # including the ``:87`` x_fb[10] defect
+    ref, _ = load_reference()
+    ref_mpc = ref.MPC()
+    mpc = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True)
+    gait = GaitConfig()
+    for step in range(12):
+        t = step * 0.04 + 0.001
+        x_fb = rng.normal(size=12) * 0.3
+        foot = rng.normal(size=6) * 0.2
+        contact = ref.get_contact_sequence(t, ref_mpc)
+        f_ref = ref.get_reference_foot_trajectory(x_fb, t, foot, ref_mpc, contact)
+        f_new = np.array(
+            foot_reference(
+                jnp.asarray(x_fb), t, jnp.asarray(foot), mpc, jnp.asarray(contact)
+            )
+        )
+        np.testing.assert_allclose(f_new, f_ref, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_foot_reference_double_stance_tiles_current_foot(rng):
+    mpc, x_fb = MpcConfig(), jnp.asarray(rng.normal(size=12))
+    foot = jnp.asarray(rng.normal(size=6))
+    contact = jnp.ones((10, 2))
+    f = np.array(foot_reference(x_fb, 0.0, foot, mpc, contact))
+    np.testing.assert_allclose(f, np.tile(np.array(foot)[:, None], (1, 10)), atol=1e-7)
+
+
+def test_foot_reference_bugfix_only_changes_y2():
+    # the corrected default differs from compat only in the y rows of the
+    # full-horizon (foot_2) columns
+    rng = np.random.default_rng(3)
+    x_fb = jnp.asarray(rng.normal(size=12))
+    foot = jnp.asarray(rng.normal(size=6))
+    mpc_fix = MpcConfig()
+    mpc_bug = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True)
+    contact = contact_sequence(0.09, mpc_fix, GaitConfig())  # kk=2 -> 2 foot_2 cols
+    f_fix = np.array(foot_reference(x_fb, 0.09, foot, mpc_fix, contact))
+    f_bug = np.array(foot_reference(x_fb, 0.09, foot, mpc_bug, contact))
+    diff = f_fix != f_bug
+    assert diff[:, :8].sum() == 0  # current + foot_1 columns identical
+    assert set(np.nonzero(diff[:, 8:])[0]) <= {1, 4}  # only y rows differ

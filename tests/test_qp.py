@@ -1,0 +1,197 @@
+"""The QP chain (C8+C9): reference assembly -> IPM oracle -> condensation ->
+ADMM, each link certified against the previous one."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.mpc import build_mpc_qp, solve_mpc
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.qp import solve_qp
+
+from tests._reference import load_reference, reference_available
+from tests.oracle_qp import kkt_residuals, solve_qp_ipm
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not mounted"
+)
+
+H = 10
+
+
+def _reference_tick_qp():
+    """The QP the reference assembled for its own import-time tick (t=0,
+    walking), captured through the fake cvxopt."""
+    ref, fake = load_reference()
+    return ref, fake.solvers.captured[0]
+
+
+def _expand_condensed_constraints(qp):
+    """CondensedQp (A_step, l, u) -> stacked one-sided (G, h) for the oracle."""
+    A_step = np.array(qp.A_step, float)
+    l = np.array(qp.l, float)
+    u = np.array(qp.u, float)
+    h_, m = l.shape
+    n = 12 * h_
+    G_rows, h_rows = [], []
+    for k in range(h_):
+        blk = np.zeros((m, n))
+        blk[:, 12 * k : 12 * (k + 1)] = A_step
+        G_rows.append(blk)
+        h_rows.append(u[k])
+        lower = l[k] > -1e19
+        G_rows.append(-blk[lower])
+        h_rows.append(-l[k][lower])
+    return np.vstack(G_rows), np.concatenate(h_rows)
+
+
+@pytest.fixture(scope="module")
+def tick_golden():
+    """Oracle solution of the reference's own captured t=0 walking QP."""
+    ref, cap = _reference_tick_qp()
+    x, info = solve_qp_ipm(
+        cap["P"], cap["q"], G=cap["G"], h=cap["h"], A=cap["A"], b=cap["b"]
+    )
+    assert info["status"] == "optimal"
+    res = kkt_residuals(
+        x, cap["P"], cap["q"], cap["G"], cap["h"], cap["A"], cap["b"],
+        z=info["z"], y=info["y"],
+    )
+    assert max(res.values()) < 1e-7, res
+    states = x[: 13 * H].reshape(H, 13)
+    controls = x[13 * H :].reshape(H, 12)
+    return ref, cap, states, controls
+
+
+def test_oracle_reference_tick_solution_sane(tick_golden):
+    _, _, states, controls = tick_golden
+    # height stays in a physically plausible band (the optimum dips during
+    # the single-stance phase, then recovers toward the 0.55 command)
+    assert 0.3 < states[:, 5].min() and states[:, 5].max() < 0.6
+    assert states[-1, 5] > states[:, 5].min()  # recovering by horizon end
+    # left foot in stance at t=0: fz>0 on foot 1, foot 2 forced to 0
+    assert controls[0, 2] > 50.0  # left fz carries weight
+    np.testing.assert_allclose(controls[0, 3:6], 0, atol=1e-7)  # right swing
+
+
+def _framework_tick_inputs(ref):
+    mpc = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True)
+    biped = BipedParams()
+    x_fb = jnp.asarray(ref.x_fb, jnp.float32)
+    foot = jnp.asarray(ref.foot, jnp.float32)
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    return mpc, biped, x_fb, foot, contact
+
+
+def test_condensation_equivalent_to_reference_qp(tick_golden):
+    """Oracle-solve the CONDENSED QP; controls/states must match the oracle
+    solution of the reference's own 250-var sparse QP — proving condensation
+    is lossless."""
+    ref, cap, states_ref, controls_ref = tick_golden
+    mpc, biped, x_fb, foot, contact = _framework_tick_inputs(ref)
+    qp = build_mpc_qp(x_fb, 0.0, foot, mpc, biped, contact)
+    G, h_vec = _expand_condensed_constraints(qp)
+    U, info = solve_qp_ipm(np.array(qp.P, float), np.array(qp.q, float), G=G, h=h_vec)
+    assert info["status"] == "optimal"
+    controls = U.reshape(H, 12)
+    np.testing.assert_allclose(controls, controls_ref, atol=2e-3)
+    states = (
+        np.einsum("kij,j->ki", np.array(qp.Sx, float), np.array(qp.x0, float))
+        + np.array(qp.Su, float) @ U
+    )
+    np.testing.assert_allclose(states, states_ref, atol=1e-4)
+
+
+def test_admm_matches_oracle_on_reference_tick(tick_golden):
+    ref, cap, states_ref, controls_ref = tick_golden
+    mpc, biped, x_fb, foot, contact = _framework_tick_inputs(ref)
+    sol = jax.jit(
+        lambda x, f, c: solve_mpc(x, 0.0, f, mpc, biped, c)
+    )(x_fb, foot, contact)
+    # res_dual is reported from the pre-polish ADMM duals (the polished x is
+    # far more accurate than the dual residual suggests — see controls check)
+    assert float(sol.res_prim) < 1e-4 and float(sol.res_dual) < 0.05, (
+        float(sol.res_prim), float(sol.res_dual),
+    )
+    # forces within 0.05 N of the interior-point golden solution (f32 floor
+    # after active-set polish is ~0.01 N on a ~120 N scale)
+    np.testing.assert_allclose(np.array(sol.controls), controls_ref, atol=0.05)
+    np.testing.assert_allclose(np.array(sol.states), states_ref, atol=1e-3)
+
+
+def test_admm_warm_start_converges_fast(tick_golden):
+    ref, *_ = tick_golden
+    mpc, biped, x_fb, foot, contact = _framework_tick_inputs(ref)
+    sol = solve_mpc(x_fb, 0.0, foot, mpc, biped, contact)
+    mpc_short = dataclasses.replace(mpc, n_admm_iters=5)
+    warm = solve_mpc(x_fb, 0.0, foot, mpc_short, biped, contact, warm=sol)
+    np.testing.assert_allclose(
+        np.array(warm.controls), np.array(sol.controls), atol=0.2
+    )
+
+
+def test_admm_standing_double_stance(tick_golden):
+    ref, *_ = tick_golden
+    mpc, biped, x_fb, foot, _ = _framework_tick_inputs(ref)
+    contact = jnp.ones((H, 2))
+    sol = solve_mpc(x_fb, 0.0, foot, mpc, biped, contact)
+    qp = build_mpc_qp(x_fb, 0.0, foot, mpc, biped, contact)
+    G, h_vec = _expand_condensed_constraints(qp)
+    U, info = solve_qp_ipm(np.array(qp.P, float), np.array(qp.q, float), G=G, h=h_vec)
+    np.testing.assert_allclose(np.array(sol.controls), U.reshape(H, 12), atol=0.5)
+    # weight shared: both feet push up ~ mg/2 across the horizon
+    fz = np.array(sol.controls)[:, [2, 5]]
+    np.testing.assert_allclose(fz.sum(1).mean(), biped.m * biped.g, rtol=0.3)
+
+
+def test_admm_batch_consistency(tick_golden):
+    """vmap(solve) on N identical problems == N x single solve (SURVEY §4)."""
+    ref, *_ = tick_golden
+    mpc, biped, x_fb, foot, contact = _framework_tick_inputs(ref)
+    single = solve_mpc(x_fb, 0.0, foot, mpc, biped, contact)
+    xs = jnp.tile(x_fb, (4, 1))
+    fs = jnp.tile(foot, (4, 1))
+    batched = jax.vmap(lambda x, f: solve_mpc(x, 0.0, f, mpc, biped, contact))(xs, fs)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.array(batched.controls[i]), np.array(single.controls), atol=1e-4
+        )
+
+
+def test_admm_random_box_qps(rng):
+    """ADMM vs oracle on random strictly-convex QPs with the same block
+    structure (generality beyond the MPC instance)."""
+    from biped_mpc_py_tpu.ops.qp import CondensedQp
+
+    mpc = dataclasses.replace(MpcConfig(), n_admm_iters=150, admm_rho=1.0)
+    for trial in range(3):
+        n = 12 * H
+        M = rng.normal(size=(n, n)) / np.sqrt(n)
+        P = M @ M.T + 0.1 * np.eye(n)
+        q = rng.normal(size=n)
+        A_step = np.vstack([np.eye(12), rng.normal(size=(4, 12)) * 0.5])
+        u = np.abs(rng.normal(size=(H, 16))) + 0.5
+        l = -np.abs(rng.normal(size=(H, 16))) - 0.5
+        qp = CondensedQp(
+            P=jnp.asarray(P, jnp.float32),
+            q=jnp.asarray(q, jnp.float32),
+            A_step=jnp.asarray(A_step, jnp.float32),
+            l=jnp.asarray(l, jnp.float32),
+            u=jnp.asarray(u, jnp.float32),
+            Sx=jnp.zeros((H, 13, 13), jnp.float32),
+            Su=jnp.zeros((H, 13, n), jnp.float32),
+            x0=jnp.zeros(13, jnp.float32),
+        )
+        sol = jax.jit(lambda qp: solve_qp(qp, mpc))(qp)
+        G, h_vec = _expand_condensed_constraints(qp)
+        x_star, info = solve_qp_ipm(P, q, G=G, h=h_vec)
+        assert info["status"] == "optimal"
+        np.testing.assert_allclose(
+            np.array(sol.controls).reshape(-1), x_star, atol=5e-3,
+            err_msg=f"trial {trial}",
+        )
