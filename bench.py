@@ -1,0 +1,80 @@
+"""Headline benchmark: batched fused sim+MPC env-steps/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference runs ONE env at an estimated 150-400 ms
+per MPC tick on CPU (cvxopt dense IPM; midpoint 250 ms -> 4 ticks/s). The
+north star is >=4096 envs at real-time on a v5e-8 slice, i.e. >=102,400
+env-steps/s per slice (25 Hz control). vs_baseline is measured env-steps/s
+per chip over the reference's 4/s.
+
+Env knobs: BENCH_ENVS (default 1024), BENCH_STEPS (default 50),
+BENCH_GAIT (1 walking / 0 standing).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.parallel.rollout import batch_worlds, batched_rollout_fn
+from biped_mpc_py_tpu.utils.precision import f32_precision
+
+REFERENCE_STEPS_PER_SEC = 4.0  # BASELINE.md: est. 250 ms per reference tick
+
+
+def main() -> None:
+    n_envs = int(os.environ.get("BENCH_ENVS", "1024"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    gait_mode = int(os.environ.get("BENCH_GAIT", "1"))
+
+    mpc = MpcConfig()
+    gait = GaitConfig(gait_mode=gait_mode)
+    biped = BipedParams()
+
+    worlds = batch_worlds(mpc, n_envs)
+    bipeds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
+    )
+    fn = jax.jit(f32_precision(batched_rollout_fn(n_steps, mpc, gait)))
+
+    t0 = time.time()
+    w = fn(worlds, bipeds)
+    jax.block_until_ready(w)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    w = fn(worlds, bipeds)
+    jax.block_until_ready(w)
+    elapsed = time.time() - t0
+
+    env_steps_per_sec = n_envs * n_steps / elapsed
+    falls = float(jnp.sum(w.metrics.falls))
+    rt_factor_total = env_steps_per_sec * mpc.dt  # envs simultaneously real-time
+    print(
+        f"envs={n_envs} steps={n_steps} elapsed={elapsed:.3f}s "
+        f"rt_envs={rt_factor_total:.0f} falls={falls}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_sim_mpc_env_steps_per_sec_per_chip",
+                "value": round(env_steps_per_sec, 1),
+                "unit": "env-steps/s/chip (25 Hz sim+MPC ticks)",
+                "vs_baseline": round(env_steps_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,13 @@ class MpcConfig:
     # implies x_fb[4] (SURVEY.md C5). False = corrected behavior (default);
     # True = replicate the reference defect bit-for-bit.
     compat_foot_ref_bug: bool = struct.field(pytree_node=False, default=False)
+    # reference ``:46`` sets f_min = [0,0,0] and applies it per-component
+    # (``:245-246``), so horizontal forces can never be negative — the stance
+    # foot cannot brake, which destabilizes closed-loop walking (the friction
+    # pyramid alone correctly allows |f_xy| <= mu f_z). False (default) =
+    # corrected: only f_z is bounded below by 0, horizontal components are
+    # left to the friction cone. True = replicate the reference bit-for-bit.
+    compat_force_box_bug: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def nx(self) -> int:

@@ -117,16 +117,25 @@ def line_foot_rows(biped: BipedParams, R: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
-def constraint_bounds(biped: BipedParams, contact: jnp.ndarray):
+def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
     """Per-step bounds (l, u), each (h, 24), contact-gated.
 
     Rows 0:8 friction (one-sided <= 0), 8:20 box on u (two-sided, reference
     ``:239-250``), 20:24 line-foot (one-sided <= 0). Swing feet get [0, 0]
     boxes (f_min = 0, tau scaled to 0), pinning their wrench to zero exactly
     as the reference's gated bounds do.
+
+    Force lower bound: corrected semantics bound only f_z below (horizontal
+    components are governed by the friction pyramid); set
+    ``mpc.compat_force_box_bug=True`` for the reference's per-component
+    f_min = 0 (see config.py for why that defect breaks walking).
     """
     h = contact.shape[0]
     c = contact  # (h,2)
+    if mpc.compat_force_box_bug:
+        f_lo = jnp.broadcast_to(biped.f_min, (3,))
+    else:
+        f_lo = jnp.stack([-biped.f_max[0], -biped.f_max[1], biped.f_min[2]])
     ub_box = jnp.concatenate(
         [
             c[:, 0:1] * biped.f_max[None, :],
@@ -138,8 +147,8 @@ def constraint_bounds(biped: BipedParams, contact: jnp.ndarray):
     )  # (h,12)
     lb_box = jnp.concatenate(
         [
-            c[:, 0:1] * biped.f_min[None, :],
-            c[:, 1:2] * biped.f_min[None, :],
+            c[:, 0:1] * f_lo[None, :],
+            c[:, 1:2] * f_lo[None, :],
             c[:, 0:1] * (-biped.tau_max[None, :]),
             c[:, 1:2] * (-biped.tau_max[None, :]),
         ],
@@ -209,7 +218,7 @@ def condense(
          line_foot_rows(biped, R).astype(dtype)],
         axis=0,
     )
-    l, u = constraint_bounds(biped, contact)
+    l, u = constraint_bounds(mpc, biped, contact)
     return CondensedQp(P=P, q=q, A_step=A_step, l=l.astype(dtype),
                        u=u.astype(dtype), Sx=Sx, Su=Su, x0=x0)
 

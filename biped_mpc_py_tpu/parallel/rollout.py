@@ -1,0 +1,127 @@
+"""Closed-loop rollouts: fused sim+MPC scan, env batching, randomization.
+
+The flagship inner loop (BASELINE.json north star): one tick = MPC solve +
+SRB dynamics step, traced once and scanned over time — zero host round-trips
+for an entire rollout. ``vmap`` adds the env-batch axis (SURVEY.md §2
+parallelism axis 1); parallel/sharding.py shards that axis over the device
+mesh (axis 2).
+
+Elastic recovery (SURVEY.md §5): a fall detector (height band) auto-resets
+envs in-batch — the batched-RL analog of failure detection + restart; falls
+are counted in the metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.controller import ControllerState
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.mpc import solve_mpc
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.sim.srb_sim import SrbState, srb_step
+from biped_mpc_py_tpu.utils.metrics import RolloutMetrics
+
+# fall detection band [m]: outside -> reset (elastic recovery)
+FALL_Z_MIN = 0.25
+FALL_Z_MAX = 0.85
+
+
+@struct.dataclass
+class World:
+    """One env's complete world state — a single pytree, so checkpointing a
+    rollout is just serializing this (SURVEY.md §5 checkpoint/resume)."""
+
+    sim: SrbState
+    ctrl: ControllerState
+    metrics: RolloutMetrics
+
+
+def init_world(mpc: MpcConfig, z0: float = 0.53) -> World:
+    return World(
+        sim=SrbState.standing(z0=z0),
+        ctrl=ControllerState.init(mpc),
+        metrics=RolloutMetrics.zeros(),
+    )
+
+
+def closed_loop_tick(
+    world: World, mpc: MpcConfig, gait: GaitConfig, biped: BipedParams
+) -> World:
+    """One fused sim+MPC tick on the SRB abstraction."""
+    sim = world.sim
+    contact = contact_sequence(sim.t, mpc, gait)
+    sol = solve_mpc(
+        sim.x_fb, sim.t, sim.foot, mpc, biped, contact, warm=world.ctrl.qp
+    )
+    u0 = sol.controls[0]
+    sim_new = srb_step(sim, u0, mpc, gait, biped)
+
+    # fall detection + in-batch auto reset
+    z = sim_new.x_fb[5]
+    fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
+    reset = SrbState.standing(dtype=sim.x_fb.dtype)
+    reset = dataclasses.replace(reset, t=sim_new.t)  # keep the clock
+    sim_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), reset, sim_new
+    )
+    ctrl_reset = ControllerState.init(mpc, dtype=sim.x_fb.dtype)
+    ctrl_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
+    )
+
+    metrics = world.metrics.update(
+        sim_new.x_fb, mpc.x_cmd, u0, sol.res_prim, fell.astype(sim.x_fb.dtype)
+    )
+    return World(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
+
+
+def rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
+    """Returns a jit-able ``(world, biped) -> world`` closure (configs
+    captured at trace time; biped stays a traced pytree so it can be batched
+    for domain randomization)."""
+
+    def fn(world: World, biped: BipedParams) -> World:
+        def step(w, _):
+            return closed_loop_tick(w, mpc, gait, biped), None
+
+        return jax.lax.scan(step, world, None, length=n_steps)[0]
+
+    return fn
+
+
+def batched_rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
+    """vmap the fused rollout over a leading env axis of (world, biped)."""
+    return jax.vmap(rollout_fn(n_steps, mpc, gait))
+
+
+def batch_worlds(mpc: MpcConfig, n: int) -> World:
+    """A batch of n identical standing worlds (leading axis on every leaf)."""
+    w = init_world(mpc)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), w)
+
+
+def randomize_params(key: jax.Array, n: int, base: BipedParams | None = None) -> BipedParams:
+    """Domain-randomized population of robots: a batched BipedParams.
+
+    Randomizes mass (±20%), inertia diag (±20%), friction mu (0.4-0.7) —
+    the knobs a sim2real pipeline would vary. Configs are pytrees, so this is
+    just vmap fodder (SURVEY.md §5 config system).
+    """
+    base = base or BipedParams()
+    k1, k2, k3 = jax.random.split(key, 3)
+    m = base.m * jax.random.uniform(k1, (n,), minval=0.8, maxval=1.2)
+    I_diag = base.I_diag[None, :] * jax.random.uniform(
+        k2, (n, 3), minval=0.8, maxval=1.2
+    )
+    mu = jax.random.uniform(k3, (n,), minval=0.4, maxval=0.7)
+
+    def one(m_i, I_i, mu_i):
+        return dataclasses.replace(base, m=m_i, I_diag=I_i, mu=mu_i)
+
+    return jax.vmap(one)(m, I_diag, mu)

@@ -1,0 +1,149 @@
+"""Articulated HECTOR model: 11-body kinematic tree (torso + 2x 5-link legs).
+
+The reference models the robot only as a single rigid body plus closed-form
+leg kinematics (``bipedalLocomotionMPC.py:34-48, 306-424``); it has no link
+masses or an articulated simulator. This module defines the full-rank model
+the articulated engine (sim/engine.py) simulates:
+
+- joint layout per leg (matching models/kinematics.py and thereby the
+  reference FK exactly): hip yaw (z) at the mirrored hip offset, hip roll (x)
+  after the intra-hip offset, then three pitch joints (y) for hip pitch,
+  knee, ankle with the thigh/shank/foot links;
+- link masses/inertias are FRAMEWORK-DEFINED (the reference specifies none):
+  chosen so the totals match the reference's SRB — total mass 12 kg and
+  nominal-pose composite inertia ~ diag(0.932, 0.942, 0.0711)
+  (``bipedalLocomotionMPC.py:36-39``); tests pin both;
+- the torso frame origin is placed at the nominal CoM so the floating-base
+  position doubles as the controller's SRB position state;
+- the line foot contributes two contact points (toe +lt, heel -lh along the
+  foot x-axis at sole height), matching the line-foot constraint geometry
+  (C8, ``:253-271``).
+
+The tree is a static structure (fixed parents/axes) so all dynamics loops
+unroll at trace time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from biped_mpc_py_tpu.models.biped import BipedParams
+
+N_BODIES = 11  # torso + 5 per leg
+N_JOINTS = 10
+NV = 16  # 6 base + 10 joints
+NQ = 17  # 3 pos + 4 quat + 10 joints
+
+# body indices
+TORSO = 0
+# per leg: yaw link, roll link, thigh, shank, foot
+LEFT = (1, 2, 3, 4, 5)
+RIGHT = (6, 7, 8, 9, 10)
+FOOT_BODIES = (5, 10)
+
+PARENT = np.array([-1, 0, 1, 2, 3, 4, 0, 6, 7, 8, 9])
+# joint axes in the child body frame (joint j moves body j+1)
+_AXES = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}
+JOINT_AXES = np.array(
+    [_AXES[a] for a in ("z", "x", "y", "y", "y")] * 2, dtype=np.float32
+)
+
+
+def _rod_inertia(m, length, axis):
+    """Inertia of a thin rod of given length along ``axis`` about its CoM."""
+    i = m * length**2 / 12.0
+    full = np.array([i, i, i])
+    full["xyz".index(axis)] = m * length**2 * 0.005  # thin: small axial term
+    return np.diag(full)
+
+
+@struct.dataclass
+class ArticulatedModel:
+    """Static tree + dynamic (randomizable) inertial leaves."""
+
+    # per-joint fixed offset from parent frame to joint frame (10,3)
+    joint_offset: jnp.ndarray
+    # per-body mass (11,), CoM in body frame (11,3), rotational inertia (11,3,3)
+    mass: jnp.ndarray
+    com: jnp.ndarray
+    inertia: jnp.ndarray
+    # contact points in foot-body frame (2 per foot: toe, heel) (4,3); rows
+    # 0-1 left toe/heel, 2-3 right
+    contact_points: jnp.ndarray
+    # contact model parameters
+    contact_stiffness: float = 8000.0  # N/m normal spring
+    contact_damping: float = 150.0  # N s/m normal damper
+    contact_mu: float = 0.5
+    contact_vslip: float = 0.05  # m/s friction smoothing velocity
+    joint_damping: float = 0.08  # N m s/rad viscous joint damping
+
+
+def hector_model(biped: BipedParams | None = None) -> ArticulatedModel:
+    """Build the HECTOR articulated model from the leg geometry constants."""
+    biped = biped or BipedParams()
+    g = biped.leg
+    hip = np.asarray(biped.hip_offset, np.float64)
+
+    def leg_offsets(side):
+        return [
+            np.array([hip[0], side * hip[1], hip[2]]),  # torso -> hip yaw
+            np.array([g.hip_x, side * g.hip_y, g.hip_z]),  # yaw -> roll
+            np.array([0.0, side * g.abd_y + g.abd_y_const, 0.0]),  # roll -> pitch
+            np.array([0.0, 0.0, -g.l_thigh]),  # pitch -> knee
+            np.array([0.0, 0.0, -g.l_shank]),  # knee -> ankle
+        ]
+
+    joint_offset = np.stack(leg_offsets(+1.0) + leg_offsets(-1.0)).astype(
+        np.float32
+    )
+
+    # ---- framework-defined link inertials (see module docstring) ----
+    m_yaw, m_roll, m_thigh, m_shank, m_foot = 0.25, 0.75, 1.0, 0.5, 0.1
+    m_leg = m_yaw + m_roll + m_thigh + m_shank + m_foot  # 2.6
+    m_torso = float(biped.m) - 2 * m_leg  # 6.8
+
+    mass = np.array(
+        [m_torso] + [m_yaw, m_roll, m_thigh, m_shank, m_foot] * 2,
+        dtype=np.float32,
+    )
+    com = np.zeros((N_BODIES, 3), np.float32)
+    com[TORSO] = [0.0, 0.0, 0.08]  # torso CoM slightly above frame origin
+    for feet, s in ((LEFT, 1.0), (RIGHT, -1.0)):
+        yaw_b, roll_b, thigh_b, shank_b, foot_b = feet
+        com[yaw_b] = [g.hip_x / 2, s * g.hip_y / 2, g.hip_z / 2]
+        com[roll_b] = [0.0, s * g.abd_y / 2, 0.0]
+        com[thigh_b] = [0.0, 0.0, -g.l_thigh / 2]
+        com[shank_b] = [0.0, 0.0, -g.l_shank / 2]
+        com[foot_b] = [0.01, 0.0, -g.l_foot]
+
+    inertia = np.zeros((N_BODIES, 3, 3), np.float32)
+    # torso: tuned so the nominal-pose composite ~ matches the reference SRB
+    inertia[TORSO] = np.diag([0.70, 0.72, 0.04])
+    for feet in (LEFT, RIGHT):
+        yaw_b, roll_b, thigh_b, shank_b, foot_b = feet
+        inertia[yaw_b] = _rod_inertia(m_yaw, 0.13, "z")
+        inertia[roll_b] = _rod_inertia(m_roll, 0.05, "y")
+        inertia[thigh_b] = _rod_inertia(m_thigh, 0.22, "z")
+        inertia[shank_b] = _rod_inertia(m_shank, 0.22, "z")
+        inertia[foot_b] = _rod_inertia(m_foot, biped.lt + biped.lh, "x")
+
+    contact_points = np.array(
+        [
+            [biped.lt, 0.0, -g.l_foot],  # left toe
+            [-biped.lh, 0.0, -g.l_foot],  # left heel
+            [biped.lt, 0.0, -g.l_foot],  # right toe
+            [-biped.lh, 0.0, -g.l_foot],  # right heel
+        ],
+        dtype=np.float32,
+    )
+
+    return ArticulatedModel(
+        joint_offset=jnp.asarray(joint_offset),
+        mass=jnp.asarray(mass),
+        com=jnp.asarray(com),
+        inertia=jnp.asarray(inertia),
+        contact_points=jnp.asarray(contact_points),
+        contact_mu=float(biped.mu),
+    )

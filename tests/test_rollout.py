@@ -1,0 +1,157 @@
+"""Closed-loop rollouts: the five BASELINE configs (standing, walking,
+velocity command, push recovery, batched domain-randomized), plus batch
+consistency, sharding, and checkpoint/resume."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.parallel.rollout import (
+    World,
+    batch_worlds,
+    batched_rollout_fn,
+    init_world,
+    randomize_params,
+    rollout_fn,
+)
+from biped_mpc_py_tpu.parallel.sharding import (
+    env_mesh,
+    make_sharded_batch,
+    sharded_rollout_fn,
+)
+
+
+def test_standing_balance_converges():
+    """BASELINE config 1: standing balance, height -> command 0.55."""
+    mpc, biped = MpcConfig(), BipedParams()
+    f = jax.jit(rollout_fn(100, mpc, GaitConfig(gait_mode=0)))
+    w = f(init_world(mpc), biped)
+    assert abs(float(w.sim.x_fb[5]) - 0.55) < 0.005
+    assert float(w.metrics.falls) == 0
+    assert float(jnp.abs(w.sim.x_fb[0:2]).max()) < 0.01  # level attitude
+
+
+def test_walking_gait_stable():
+    """BASELINE config 2: 10 s of walking, no falls, bounded attitude."""
+    mpc, biped = MpcConfig(), BipedParams()
+    f = jax.jit(rollout_fn(250, mpc, GaitConfig()))
+    w = f(init_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.15
+    assert 0.4 < float(w.sim.x_fb[5]) < 0.65
+    assert float(w.metrics.res_prim_max) < 1.0
+
+
+def test_velocity_command_walks_forward():
+    """BASELINE config 3: velocity-command locomotion makes forward progress."""
+    x_cmd = jnp.array([0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0.3, 0, 0], jnp.float32)
+    mpc = dataclasses.replace(MpcConfig(), x_cmd=x_cmd)
+    biped = BipedParams()
+    f = jax.jit(rollout_fn(250, mpc, GaitConfig()))
+    w = f(init_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    assert float(w.sim.x_fb[3]) > 1.5  # >1.5 m in 10 s under 0.3 m/s command
+
+
+def test_push_recovery():
+    """BASELINE config 4: a 0.3 m/s lateral shove is absorbed by stepping."""
+    mpc, biped = MpcConfig(), BipedParams()
+    f = jax.jit(rollout_fn(50, mpc, GaitConfig()))
+    w = f(init_world(mpc), biped)
+    w = dataclasses.replace(
+        w, sim=dataclasses.replace(w.sim, x_fb=w.sim.x_fb.at[10].add(0.3))
+    )
+    f2 = jax.jit(rollout_fn(200, mpc, GaitConfig()))
+    w = f2(w, biped)
+    assert float(w.metrics.falls) == 0
+    assert abs(float(w.sim.x_fb[10])) < 0.4
+    assert 0.4 < float(w.sim.x_fb[5]) < 0.65
+
+
+def test_fall_detection_resets():
+    """Elastic recovery: a huge kick causes a fall, the env auto-resets and
+    keeps running (falls counted in the metrics)."""
+    mpc, biped = MpcConfig(), BipedParams()
+    f = jax.jit(rollout_fn(50, mpc, GaitConfig()))
+    w = f(init_world(mpc), biped)
+    w = dataclasses.replace(
+        w, sim=dataclasses.replace(w.sim, x_fb=w.sim.x_fb.at[10].add(2.0))
+    )
+    w = jax.jit(rollout_fn(100, mpc, GaitConfig()))(w, biped)
+    assert float(w.metrics.falls) >= 1
+    assert 0.3 < float(w.sim.x_fb[5]) < 0.7  # running again after reset
+
+
+def test_batch_consistency_vmap():
+    """vmap(rollout) on N identical envs == N x single rollout (SURVEY §4)."""
+    mpc, biped = MpcConfig(), BipedParams()
+    single = jax.jit(rollout_fn(20, mpc, GaitConfig()))(init_world(mpc), biped)
+    n = 4
+    worlds = batch_worlds(mpc, n)
+    bipeds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), biped
+    )
+    batched = jax.jit(batched_rollout_fn(20, mpc, GaitConfig()))(worlds, bipeds)
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.array(batched.sim.x_fb[i]), np.array(single.sim.x_fb), atol=2e-4
+        )
+
+
+def test_domain_randomized_batch():
+    """BASELINE config 5 (small scale): randomized robots all walk."""
+    mpc = MpcConfig()
+    n = 8
+    params = randomize_params(jax.random.PRNGKey(0), n)
+    worlds = batch_worlds(mpc, n)
+    w = jax.jit(batched_rollout_fn(50, mpc, GaitConfig()))(worlds, params)
+    assert np.isfinite(np.array(w.sim.x_fb)).all()
+    assert float(w.metrics.falls.sum()) == 0
+    # masses actually differ across the batch
+    assert float(params.m.std()) > 0.3
+
+
+def test_sharded_rollout_matches_vmap():
+    """shard_map over the 8-device CPU mesh == plain vmap (numerics + layout)."""
+    mpc, biped = MpcConfig(), BipedParams()
+    n = 8
+    mesh = env_mesh()
+    assert mesh.devices.size == 8
+    worlds = make_sharded_batch(mpc, n, mesh)
+    bipeds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), biped
+    )
+    f_shard = jax.jit(sharded_rollout_fn(20, mpc, GaitConfig(), mesh))
+    w_s, summary = f_shard(worlds, bipeds)
+    w_v = jax.jit(batched_rollout_fn(20, mpc, GaitConfig()))(
+        batch_worlds(mpc, n), bipeds
+    )
+    np.testing.assert_allclose(
+        np.array(w_s.sim.x_fb), np.array(w_v.sim.x_fb), atol=2e-4
+    )
+    assert float(summary["n_steps"]) == 20 * n
+    assert float(summary["falls"]) == 0
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """The world is one pytree: save -> load -> resume == straight run
+    (SURVEY.md §5 checkpoint/resume)."""
+    from biped_mpc_py_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    mpc, biped = MpcConfig(), BipedParams()
+    f20 = jax.jit(rollout_fn(20, mpc, GaitConfig()))
+    f10 = jax.jit(rollout_fn(10, mpc, GaitConfig()))
+    w_mid = f20(init_world(mpc), biped)
+    path = tmp_path / "ckpt.npz"
+    save_pytree(str(path), w_mid)
+    w_loaded = load_pytree(str(path), jax.tree.map(jnp.zeros_like, w_mid))
+    w_resumed = f10(w_loaded, biped)
+    w_straight = f10(w_mid, biped)
+    np.testing.assert_array_equal(
+        np.array(w_resumed.sim.x_fb), np.array(w_straight.sim.x_fb)
+    )
