@@ -30,11 +30,17 @@ REFERENCE_STEPS_PER_SEC = 4.0  # BASELINE.md: est. 250 ms per reference tick
 
 
 def main() -> None:
+    import dataclasses
+
     n_envs = int(os.environ.get("BENCH_ENVS", "1024"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     gait_mode = int(os.environ.get("BENCH_GAIT", "1"))
 
-    mpc = MpcConfig()
+    mpc = dataclasses.replace(
+        MpcConfig(),
+        n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
+        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "2")),
+    )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()
 

@@ -1,0 +1,130 @@
+"""Closed-loop rollouts on the ARTICULATED engine (the full stack).
+
+Control hierarchy per MPC period (mpc.dt = 40 ms), mirroring a real
+locomotion stack (and the reference's implied architecture — MPC +
+"low-level control", ``README.md:2``):
+
+  25 Hz   MPC: references -> SRB linearization -> condensed QP -> ADMM
+  200 Hz  low-level: swing-leg PD + Jacobian-transpose torque mapping
+          (re-evaluated on the CURRENT articulated state, holding u0)
+  2 kHz   physics: Featherstone dynamics + compliant toe/heel contact
+
+All three rates are nested scans inside ONE jitted tick — zero host
+round-trips — and the whole thing vmaps over envs exactly like the SRB loop
+(parallel/rollout.py)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.controller import ControllerState
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.lowlevel import low_level_control
+from biped_mpc_py_tpu.control.mpc import solve_mpc
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.models.kinematics import foot_positions_world
+from biped_mpc_py_tpu.sim.engine import ArtState, art_step
+from biped_mpc_py_tpu.sim.model import ArticulatedModel, hector_model
+from biped_mpc_py_tpu.utils.metrics import RolloutMetrics
+
+FALL_Z_MIN = 0.25
+FALL_Z_MAX = 0.85
+
+
+@struct.dataclass
+class ArtWorld:
+    sim: ArtState
+    ctrl: ControllerState
+    metrics: RolloutMetrics
+
+
+def init_art_world(mpc: MpcConfig, z0: float = 0.533) -> ArtWorld:
+    return ArtWorld(
+        sim=ArtState.standing(z0=z0),
+        ctrl=ControllerState.init(mpc),
+        metrics=RolloutMetrics.zeros(),
+    )
+
+
+def art_closed_loop_tick(
+    world: ArtWorld,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    biped: BipedParams,
+    model: ArticulatedModel,
+    n_lowlevel: int = 8,
+    n_substeps: int = 10,
+) -> ArtWorld:
+    """One full MPC period on the articulated robot."""
+    sim = world.sim
+    x_fb = sim.x_fb()
+    pf_w = foot_positions_world(x_fb, sim.q, biped)
+    contact = contact_sequence(sim.t, mpc, gait)
+    sol = solve_mpc(x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp)
+    u0 = sol.controls[0]
+
+    ll_dt = mpc.dt / n_lowlevel
+
+    def ll_step(s, _):
+        x = s.x_fb()
+        pf = foot_positions_world(x, s.q, biped)
+        tau = low_level_control(
+            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0
+        )
+        return art_step(model, s, tau, ll_dt, n_substeps), None
+
+    sim_new, _ = jax.lax.scan(ll_step, sim, None, length=n_lowlevel)
+
+    z = sim_new.pos[2]
+    fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
+    reset = ArtState.standing(dtype=sim.q.dtype)
+    reset = dataclasses.replace(reset, t=sim_new.t)
+    sim_next = jax.tree.map(lambda r, s: jnp.where(fell, r, s), reset, sim_new)
+    ctrl_reset = ControllerState.init(mpc, dtype=sim.q.dtype)
+    ctrl_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
+    )
+    metrics = world.metrics.update(
+        sim_new.x_fb(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)
+    )
+    return ArtWorld(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
+
+
+def art_rollout_fn(
+    n_steps: int,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    model: ArticulatedModel | None = None,
+    n_lowlevel: int = 8,
+    n_substeps: int = 10,
+):
+    """jit-able ``(world, biped) -> world`` articulated rollout closure."""
+    model = model or hector_model()
+
+    def fn(world: ArtWorld, biped: BipedParams) -> ArtWorld:
+        def step(w, _):
+            return (
+                art_closed_loop_tick(
+                    w, mpc, gait, biped, model, n_lowlevel, n_substeps
+                ),
+                None,
+            )
+
+        return jax.lax.scan(step, world, None, length=n_steps)[0]
+
+    return fn
+
+
+def batched_art_rollout_fn(
+    n_steps: int,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    model: ArticulatedModel | None = None,
+    **kw,
+):
+    return jax.vmap(art_rollout_fn(n_steps, mpc, gait, model, **kw))

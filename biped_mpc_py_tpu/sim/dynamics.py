@@ -164,6 +164,11 @@ def crba_mass_matrix(model: ArticulatedModel, q: jnp.ndarray) -> jnp.ndarray:
                 )
                 M = M.at[6 + k, 6 + j].set(Sb @ F)
                 M = M.at[6 + j, 6 + k].set(Sb @ F)
+    # reflected actuator inertia on the joint diagonal (model.armature);
+    # must come after the joint-block sets above
+    M = M.at[jnp.arange(6, 16), jnp.arange(6, 16)].add(
+        jnp.asarray(model.armature, dtype)
+    )
     return M
 
 

@@ -78,6 +78,27 @@ class ArticulatedModel:
     contact_mu: float = 0.5
     contact_vslip: float = 0.05  # m/s friction smoothing velocity
     joint_damping: float = 0.08  # N m s/rad viscous joint damping
+    # reflected motor/gear inertia added to each joint's diagonal (MuJoCo
+    # "armature"); essential for stiff-contact stability with light distal
+    # links, and physically real for geared actuators
+    armature: float = 0.01
+    # soft joint limits (10,2): [min, max]; enforced by a stiff penalty
+    # torque in the engine. Framework-defined (the reference has none).
+    joint_limits: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(
+            [
+                [-0.8, 0.8],  # hip yaw
+                [-0.8, 0.8],  # hip roll
+                [-2.0, 1.5],  # hip pitch
+                [0.15, 2.6],  # knee
+                [-1.6, 1.6],  # ankle
+            ]
+            * 2,
+            jnp.float32,
+        )
+    )
+    joint_limit_stiffness: float = 80.0  # N m / rad beyond the limit
+    joint_limit_damping: float = 2.0
 
 
 def hector_model(biped: BipedParams | None = None) -> ArticulatedModel:

@@ -1,0 +1,226 @@
+"""Articulated engine validation: analytic checks + MuJoCo CPU oracle.
+
+The reference has no simulator, so there are no reference numbers here;
+correctness is established against physics itself (free-fall, momentum,
+composite properties) and against MuJoCo forward dynamics on the SAME model
+(exported via sim/mjcf.py) — the strongest available oracle (SURVEY.md §7
+stage 8)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.sim.dynamics import crba_mass_matrix, forward_kinematics
+from biped_mpc_py_tpu.sim.engine import ArtState, art_step, contact_point_states
+from biped_mpc_py_tpu.sim.mjcf import to_mjcf
+from biped_mpc_py_tpu.sim.model import hector_model
+
+try:
+    import mujoco
+
+    HAVE_MUJOCO = True
+except Exception:  # pragma: no cover
+    HAVE_MUJOCO = False
+
+
+@pytest.fixture(scope="module")
+def model():
+    return hector_model()
+
+
+def test_total_mass_matches_srb(model):
+    np.testing.assert_allclose(float(model.mass.sum()), BipedParams().m, atol=1e-5)
+
+
+def test_composite_inertia_near_reference_srb(model):
+    """Nominal-pose composite inertia about the base ~ reference SRB inertia
+    (bipedalLocomotionMPC.py:37-39). Loose band: the split into links is
+    framework-defined."""
+    s = ArtState.standing()
+    M = np.array(crba_mass_matrix(model, s.q))
+    I_comp = M[0:3, 0:3]  # rotational block about the base origin
+    ref = np.array([0.932, 0.9420, 0.0711])
+    assert np.all(np.abs(np.diag(I_comp) / ref - 1.0) < 0.45), np.diag(I_comp)
+    # mass block
+    np.testing.assert_allclose(np.diag(M[3:6, 3:6]), 12.0, rtol=1e-5)
+
+
+def test_free_fall_is_ballistic(model):
+    """CoM falls at g; joints see no torque -> no relative motion."""
+    s = ArtState.standing(z0=2.0)
+    s1 = art_step(model, s, jnp.zeros(10), 0.04, 40)
+    assert abs(float(s1.v_base[5]) + 9.81 * 0.04) < 1e-4
+    assert float(jnp.abs(s1.qd).max()) < 1e-4  # balanced gravity: no flail
+    assert float(jnp.abs(s1.q - s.q).max()) < 1e-5
+
+
+def test_momentum_conservation_in_flight(model):
+    """With no gravity, contact, damping: spatial momentum is conserved."""
+    m0 = dataclasses.replace(model, joint_damping=0.0)
+    rng = np.random.default_rng(0)
+    s = ArtState.standing(z0=5.0)
+    s = dataclasses.replace(
+        s,
+        v_base=jnp.asarray(rng.normal(size=6) * 0.3, jnp.float32),
+        qd=jnp.asarray(rng.normal(size=10) * 0.5, jnp.float32),
+    )
+
+    def momentum(st):
+        M = crba_mass_matrix(m0, st.q)
+        h_base = M[0:6, 0:6] @ st.v_base + M[0:6, 6:16] @ st.qd
+        # express in world frame (conserved there)
+        from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
+
+        R = quat_to_rotm(st.quat)
+        lin = R @ h_base[3:6]
+        ang = R @ h_base[0:3]  # about base origin; compare lin strictly
+        return np.array(lin), np.array(ang)
+
+    from biped_mpc_py_tpu.sim.dynamics import forward_dynamics
+    from biped_mpc_py_tpu.sim.model import N_BODIES
+
+    def substep_nog(st, dt):
+        f_ext = [jnp.zeros(6) for _ in range(N_BODIES)]
+        qdd = forward_dynamics(
+            m0, st.pos, st.quat, st.q, st.v_base, st.qd,
+            jnp.zeros(10), f_ext, g=0.0,
+        )
+        from biped_mpc_py_tpu.ops.rotations import quat_integrate, quat_to_rotm
+
+        v_base = st.v_base + qdd[0:6] * dt
+        qd = st.qd + qdd[6:16] * dt
+        R = quat_to_rotm(st.quat)
+        return dataclasses.replace(
+            st,
+            pos=st.pos + (R @ v_base[3:6]) * dt,
+            quat=quat_integrate(st.quat, R @ v_base[0:3], dt),
+            v_base=v_base,
+            q=st.q + qd * dt,
+            qd=qd,
+        )
+
+    lin0, _ = momentum(s)
+    st = s
+    for _ in range(200):
+        st = substep_nog(st, 5e-4)
+    lin1, _ = momentum(st)
+    np.testing.assert_allclose(lin1, lin0, atol=2e-3)
+
+
+def test_contact_points_at_default_pose(model):
+    s = ArtState.standing(z0=0.533)
+    pts, vels, bodies, _ = contact_point_states(model, s)
+    pts = np.array(pts)
+    np.testing.assert_allclose(pts[:, 2], 0.0, atol=2e-3)  # soles on ground
+    # toe ahead of heel, mirrored feet
+    assert pts[0, 0] > pts[1, 0]
+    np.testing.assert_allclose(pts[0:2, 1], 0.09, atol=1e-3)
+    np.testing.assert_allclose(pts[2:4, 1], -0.09, atol=1e-3)
+
+
+def test_fk_matches_reference_foot_position(model):
+    """Articulated FK sole position == reference closed-form FK world foot
+    (same chain constants) at the default pose."""
+    from biped_mpc_py_tpu.models.kinematics import foot_positions_world
+
+    s = ArtState.standing(z0=0.533)
+    biped = BipedParams()
+    x_fb = s.x_fb()
+    pf = np.array(foot_positions_world(x_fb, s.q, biped))
+    _, _, _, (R_wb, p_w) = contact_point_states(model, s)
+    from biped_mpc_py_tpu.sim.model import FOOT_BODIES
+
+    for leg in range(2):
+        b = FOOT_BODIES[leg]
+        sole = np.array(p_w[b] + R_wb[b] @ jnp.array([0.0, 0.0, -0.036]))
+        np.testing.assert_allclose(sole, pf[3 * leg : 3 * leg + 3], atol=1e-5)
+
+
+def test_passive_collapse_stays_finite(model):
+    """Zero torque on ground: the robot collapses but integration stays
+    finite for 2 s (contact + joint limits + armature stability)."""
+    s = ArtState.standing(z0=0.533)
+    step = jax.jit(lambda s: art_step(model, s, jnp.zeros(10), 0.04))
+    for _ in range(50):
+        s = step(s)
+    assert np.isfinite(np.array(s.pos)).all()
+    assert float(jnp.abs(s.qd).max()) < 50.0
+
+
+@pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco not installed")
+class TestMujocoOracle:
+    def _mj_setup(self, model, timestep=5e-4):
+        mj_model = mujoco.MjModel.from_xml_string(to_mjcf(model, timestep))
+        mj_data = mujoco.MjData(mj_model)
+        return mj_model, mj_data
+
+    def _sync_state(self, mj_data, s: ArtState):
+        from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
+
+        R = np.array(quat_to_rotm(s.quat))
+        mj_data.qpos[0:3] = np.array(s.pos)
+        mj_data.qpos[3:7] = np.array(s.quat)
+        mj_data.qpos[7:17] = np.array(s.q)
+        mj_data.qvel[0:3] = R @ np.array(s.v_base[3:6])
+        mj_data.qvel[3:6] = np.array(s.v_base[0:3])
+        mj_data.qvel[6:16] = np.array(s.qd)
+
+    def test_flight_trajectory_matches(self, model):
+        """50 ms of torque-driven flight: base + joints match MuJoCo."""
+        m0 = dataclasses.replace(model, joint_damping=0.0)
+        rng = np.random.default_rng(1)
+        s = ArtState.standing(z0=3.0)
+        s = dataclasses.replace(
+            s,
+            v_base=jnp.asarray(rng.normal(size=6) * 0.2, jnp.float32),
+            qd=jnp.asarray(rng.normal(size=10) * 0.3, jnp.float32),
+        )
+        tau = jnp.asarray(rng.normal(size=10) * 2.0, jnp.float32)
+
+        mj_model, mj_data = self._mj_setup(m0)
+        self._sync_state(mj_data, s)
+        mj_data.qfrc_applied[6:16] = np.array(tau)
+        n_steps = 100  # 50 ms at 0.5 ms
+        for _ in range(n_steps):
+            mujoco.mj_step(mj_model, mj_data)
+
+        s_j = art_step(m0, s, tau, 0.05, n_steps)
+        np.testing.assert_allclose(
+            np.array(s_j.pos), mj_data.qpos[0:3], atol=2e-4
+        )
+        q_mj = mj_data.qpos[3:7] * np.sign(mj_data.qpos[3])
+        q_jx = np.array(s_j.quat) * np.sign(float(s_j.quat[0]))
+        np.testing.assert_allclose(q_jx, q_mj, atol=2e-3)
+        np.testing.assert_allclose(
+            np.array(s_j.q), mj_data.qpos[7:17], atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.array(s_j.qd), mj_data.qvel[6:16], atol=5e-2
+        )
+
+    def test_mass_matrix_matches_mujoco(self, model):
+        rng = np.random.default_rng(2)
+        mj_model, mj_data = self._mj_setup(model)
+        for _ in range(3):
+            s = ArtState.standing(z0=1.0)
+            s = dataclasses.replace(
+                s, q=jnp.asarray(rng.uniform(-0.8, 0.8, 10), jnp.float32)
+            )
+            self._sync_state(mj_data, s)
+            mujoco.mj_forward(mj_model, mj_data)
+            M_mj = np.zeros((16, 16))
+            mujoco.mj_fullM(mj_model, mj_data, M_mj)
+            M_j = np.array(crba_mass_matrix(model, s.q))
+            # MuJoCo free-joint rows: [lin_world(3), ang_body(3)], ours:
+            # [ang_body(3), lin_body(3)] — compare joint-joint block strictly
+            np.testing.assert_allclose(
+                M_j[6:, 6:], M_mj[6:, 6:], atol=1e-5
+            )
+            # and the angular-angular block (both in body frame at identity
+            # orientation)
+            np.testing.assert_allclose(M_j[0:3, 0:3], M_mj[3:6, 3:6], atol=1e-5)
+            np.testing.assert_allclose(M_j[3:6, 3:6], M_mj[0:3, 0:3], atol=1e-5)
