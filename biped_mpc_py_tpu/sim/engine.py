@@ -70,6 +70,70 @@ class ArtState:
         return jnp.concatenate([eul, self.pos, w_world, v_world])
 
 
+def com_feedback_state(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
+    """Controller feedback (12,): whole-body CoM for x/y, torso frame for z.
+
+    The torso-frame origin only approximates the CoM at the nominal pose;
+    during swing the legs shift the real CoM by a few cm, and feeding the
+    torso xy to the SRB MPC produces a systematic moment error (observed as
+    a steady pitch drift in closed loop) — so the HORIZONTAL feedback is the
+    exact CoM (mass-weighted FK position, momentum/mass velocity). The
+    VERTICAL channel keeps torso-frame z so the height command retains its
+    leg-extension meaning (commanding true-CoM height overextends the legs).
+    Attitude and angular velocity are the torso's.
+    """
+    from biped_mpc_py_tpu.sim.dynamics import (
+        crba_mass_matrix,
+        forward_kinematics,
+        joint_transforms,
+    )
+    from biped_mpc_py_tpu.sim.model import JOINT_AXES, PARENT
+    from biped_mpc_py_tpu.sim.spatial import xform_motion
+
+    R_wb, p_w = forward_kinematics(model, state.pos, state.quat, state.q)
+    X_up = joint_transforms(model, state.q)
+    v = [state.v_base]
+    for i in range(1, N_BODIES):
+        j = i - 1
+        S = jnp.concatenate(
+            [jnp.asarray(JOINT_AXES[j], state.q.dtype), jnp.zeros(3, state.q.dtype)]
+        )
+        v.append(xform_motion(X_up[j], v[PARENT[i]]) + S * state.qd[j])
+
+    total_m = jnp.sum(model.mass)
+    p_com = jnp.zeros(3, state.q.dtype)
+    mom = jnp.zeros(3, state.q.dtype)
+    for i in range(N_BODIES):
+        ci = model.com[i]
+        p_com = p_com + model.mass[i] * (p_w[i] + R_wb[i] @ ci)
+        v_ci = v[i][3:6] + jnp.cross(v[i][0:3], ci)  # body coords
+        mom = mom + model.mass[i] * (R_wb[i] @ v_ci)
+    p_com = p_com / total_m
+    v_com = mom / total_m
+
+    R = R_wb[0]
+    eul = quat_to_eul(state.quat)
+    w_world = R @ state.v_base[0:3]
+    # hybrid: CoM xy, torso z (see docstring)
+    pos = jnp.stack([p_com[0], p_com[1], state.pos[2]])
+    v_t = R @ state.v_base[3:6]
+    vel = jnp.stack([v_com[0], v_com[1], v_t[2]])
+    return jnp.concatenate([eul, pos, w_world, vel])
+
+
+def sole_positions(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
+    """World positions (6,) of both sole centers (the reference's "foot"
+    points, FK chain tip at (0,0,-l_foot) in each foot frame)."""
+    from biped_mpc_py_tpu.sim.dynamics import forward_kinematics
+
+    R_wb, p_w = forward_kinematics(model, state.pos, state.quat, state.q)
+    tip = jnp.array([0.0, 0.0, -0.036], state.q.dtype)
+    out = []
+    for b in FOOT_BODIES:
+        out.append(p_w[b] + R_wb[b] @ tip)
+    return jnp.concatenate(out)
+
+
 def contact_point_states(model: ArticulatedModel, state: ArtState):
     """World positions and velocities of the 4 toe/heel contact points."""
     R_wb, p_w = forward_kinematics(model, state.pos, state.quat, state.q)

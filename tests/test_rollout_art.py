@@ -1,0 +1,96 @@
+"""Closed-loop BASELINE configs on the FULL articulated stack
+(25 Hz MPC / 200 Hz low-level / 2 kHz Featherstone physics)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.parallel.rollout_art import (
+    art_mpc_config,
+    art_rollout_fn,
+    batched_art_rollout_fn,
+    init_art_world,
+)
+from biped_mpc_py_tpu.sim.model import hector_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return BipedParams(), hector_model()
+
+
+def test_articulated_standing(setup):
+    biped, model = setup
+    mpc = art_mpc_config()
+    f = jax.jit(art_rollout_fn(50, mpc, GaitConfig(gait_mode=0), model=model))
+    w = f(init_art_world(mpc), biped)
+    x = np.array(w.sim.x_fb())
+    assert float(w.metrics.falls) == 0
+    assert abs(x[5] - 0.55) < 0.02
+    assert np.abs(x[0:2]).max() < 0.05
+
+
+def test_articulated_walking_10s(setup):
+    """BASELINE config 2 on the articulated robot: 10 s, zero falls, tight
+    attitude regulation."""
+    biped, model = setup
+    mpc = art_mpc_config()
+    f = jax.jit(art_rollout_fn(250, mpc, GaitConfig(), model=model))
+    w = f(init_art_world(mpc), biped)
+    x = np.array(w.sim.x_fb())
+    assert float(w.metrics.falls) == 0
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
+    assert abs(x[5] - 0.55) < 0.03
+
+
+def test_articulated_velocity_command(setup):
+    biped, model = setup
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(0.2)
+    mpc = art_mpc_config(x_cmd=x_cmd)
+    f = jax.jit(art_rollout_fn(250, mpc, GaitConfig(), model=model))
+    w = f(init_art_world(mpc), biped)
+    x = np.array(w.sim.x_fb())
+    assert float(w.metrics.falls) == 0
+    assert x[3] > 0.25  # forward progress under the velocity command
+
+
+def test_articulated_push_recovery(setup):
+    biped, model = setup
+    mpc = art_mpc_config()
+    f1 = jax.jit(art_rollout_fn(50, mpc, GaitConfig(), model=model))
+    w = f1(init_art_world(mpc), biped)
+    vb = w.sim.v_base.at[4].add(0.25)  # lateral shove
+    w = dataclasses.replace(w, sim=dataclasses.replace(w.sim, v_base=vb))
+    f2 = jax.jit(art_rollout_fn(150, mpc, GaitConfig(), model=model))
+    w = f2(w, biped)
+    x = np.array(w.sim.x_fb())
+    assert float(w.metrics.falls) == 0
+    assert abs(x[10]) < 0.3 and abs(x[4]) < 0.3
+
+
+def test_articulated_batched(setup):
+    """Batched articulated rollouts run and match the single-env rollout."""
+    biped, model = setup
+    mpc = art_mpc_config()
+    n = 3
+    single = jax.jit(art_rollout_fn(10, mpc, GaitConfig(), model=model))(
+        init_art_world(mpc), biped
+    )
+    worlds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), init_art_world(mpc)
+    )
+    bipeds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), biped
+    )
+    batched = jax.jit(batched_art_rollout_fn(10, mpc, GaitConfig(), model=model))(
+        worlds, bipeds
+    )
+    np.testing.assert_allclose(
+        np.array(batched.sim.pos[0]), np.array(single.sim.pos), atol=5e-4
+    )
+    assert float(batched.metrics.falls.sum()) == 0
