@@ -40,6 +40,7 @@ def main() -> None:
         MpcConfig(),
         n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
         admm_rho_phases=int(os.environ.get("BENCH_PHASES", "2")),
+        admm_polish=bool(int(os.environ.get("BENCH_POLISH", "1"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()

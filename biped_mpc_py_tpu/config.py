@@ -71,6 +71,14 @@ class MpcConfig:
     kd_swing: float = 10.0
     # swing apex height [m]
     swing_height: float = 0.1
+    # Raibert placement velocity coefficient. 0.0 (default) = the
+    # reference's formula ``v * lookahead/2`` (``bipedalLocomotionMPC.py:
+    # 73-89``), whose effective gain (~0.1 s) is well short of the
+    # capture-point gain sqrt(z/g) (~0.24 s at z=0.55) — measured to cap
+    # push recovery at ~0.3 m/s. > 0 = use ``v * capture_gain *
+    # sqrt(z_cmd/g)`` (1.0 = exact capture point; shoves to 0.5 m/s are
+    # absorbed with zero falls).
+    raibert_capture_gain: float = 0.0
     # --- solver settings (no reference analog; cvxopt defaults there) ---
     # number of ADMM iterations (static: unrolled/scanned at trace time)
     n_admm_iters: int = struct.field(pytree_node=False, default=60)
@@ -95,6 +103,18 @@ class MpcConfig:
     # corrected: only f_z is bounded below by 0, horizontal components are
     # left to the friction cone. True = replicate the reference bit-for-bit.
     compat_force_box_bug: bool = struct.field(pytree_node=False, default=False)
+    # reference ``:62-63`` targets x_ref column k at decision state X_k,
+    # which its own dynamics places k+1 steps ahead, and pins column 0 to
+    # the current feedback state — telling the QP to hold the current
+    # velocity and dragging every maneuver (~50% velocity tracking, yaw
+    # stall). False (default) = corrected one-step-shifted targets; True =
+    # replicate the reference bit-for-bit.
+    compat_ref_col0_bug: bool = struct.field(pytree_node=False, default=False)
+    # reference ``:434`` adds the swing stance-width offset in WORLD y,
+    # which collapses the stance width at yaw != 0 (turning). False
+    # (default) = rotate the offset into the heading frame; True =
+    # replicate the reference literally.
+    compat_swing_yaw_bug: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def nx(self) -> int:

@@ -20,15 +20,26 @@ from biped_mpc_py_tpu.control.gait import phase_index
 def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     """CoM/state reference over the horizon -> (13, h).
 
-    Parity: reference ``get_reference_trajectory``
-    (``bipedalLocomotionMPC.py:61-70``): column 0 is the feedback state; for
-    pose entries i<6, later columns integrate the commanded velocity
-    ``x_cmd[i+6]`` from the *measured* pose when that velocity is nonzero,
-    else hold the commanded pose. Velocity entries hold ``x_cmd[6:12]``; the
-    13th (gravity) state is 1.
+    Behavior of reference ``get_reference_trajectory``
+    (``bipedalLocomotionMPC.py:61-70``): for pose entries i<6, columns
+    integrate the commanded velocity ``x_cmd[i+6]`` from the *measured* pose
+    when that velocity is nonzero, else hold the commanded pose. Velocity
+    entries hold ``x_cmd[6:12]``; the 13th (gravity) state is 1.
+
+    Known reference defect (``:62-63``): the reference sets column 0 to the
+    CURRENT feedback state and indexes the ramp by k, but decision state X_k
+    in its own dynamics constraint (``:207-213``) is the state k+1 steps
+    AHEAD — so the cost tells the optimizer to hold its current velocity,
+    dragging every maneuver (measured: ~50% steady-state velocity-command
+    tracking, total yaw-command stall). Corrected default: targets indexed
+    by k+1 with no feedback column. ``mpc.compat_ref_col0_bug=True``
+    replicates the reference bit-for-bit.
     """
     h = mpc.h
-    ks = jnp.arange(h, dtype=x_fb.dtype)  # (h,)
+    if mpc.compat_ref_col0_bug:
+        ks = jnp.arange(h, dtype=x_fb.dtype)  # (h,)
+    else:
+        ks = jnp.arange(1, h + 1, dtype=x_fb.dtype)
     v_cmd = mpc.x_cmd[6:12]  # (6,)
     pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
     pose_hold = jnp.broadcast_to(mpc.x_cmd[:6, None], (6, h))
@@ -36,19 +47,39 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
     ones = jnp.ones((1, h), x_fb.dtype)
     x_ref = jnp.concatenate([pose, vel, ones], axis=0)
-    # column 0 = feedback state (reference ``:63``)
-    x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), x_fb.dtype)])
-    return x_ref.at[:, 0].set(x0)
+    if mpc.compat_ref_col0_bug:
+        # column 0 = feedback state (reference ``:63``)
+        x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), x_fb.dtype)])
+        x_ref = x_ref.at[:, 0].set(x0)
+    return x_ref
 
 
 def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
-    """Raibert-style foot target: p + v·T/2 + kv·(p - p_cmd), per axis.
+    """Raibert-style foot target: p + v·T_eff + kv·(p - p_cmd), per axis.
 
     ``lookahead`` is the stance-time horizon T (reference uses h/2·dt and
-    h·dt, ``bipedalLocomotionMPC.py:73-89``).
+    h·dt, ``bipedalLocomotionMPC.py:73-89``); the reference's velocity
+    coefficient is T/2. With ``mpc.raibert_capture_gain > 0`` the
+    coefficient becomes ``gain·sqrt(z_cmd/g)`` (capture point) instead —
+    see config.py for the measured robustness difference.
     """
-    fx = x_fb[3] + x_fb[9] * 0.5 * lookahead + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
-    fy = x_fb[4] + x_fb[10] * 0.5 * lookahead + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
+    ff = 0.5 * lookahead  # reference's feedforward coefficient
+    if mpc.raibert_capture_gain:
+        # capture-point feedback on the velocity ERROR (raw-velocity capture
+        # feedback brakes steady walking; error feedback leaves the neutral
+        # point at the commanded speed)
+        kc = mpc.raibert_capture_gain * jnp.sqrt(mpc.x_cmd[5] / 9.81)
+        fx = (
+            x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - mpc.x_cmd[9])
+            + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
+        )
+        fy = (
+            x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - mpc.x_cmd[10])
+            + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
+        )
+        return fx, fy
+    fx = x_fb[3] + x_fb[9] * ff + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
+    fy = x_fb[4] + x_fb[10] * ff + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
     return fx, fy
 
 

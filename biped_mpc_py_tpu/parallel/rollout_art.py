@@ -47,8 +47,12 @@ def art_mpc_config(**overrides) -> MpcConfig:
       whose reaction torques destabilize the real articulated robot (the
       reference never ran closed-loop; its SRB abstraction ignores leg mass).
       4 cm walks with zero falls and ~0.015 rad attitude RMS.
+    - ``raibert_capture_gain = 1.0``: capture-point foot placement
+      (config.py) — push recovery to 0.5 m/s instead of ~0.3 m/s.
     """
-    cfg = dataclasses.replace(MpcConfig(), swing_height=0.04)
+    cfg = dataclasses.replace(
+        MpcConfig(), swing_height=0.04, raibert_capture_gain=1.0
+    )
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -75,6 +79,7 @@ def art_closed_loop_tick(
     model: ArticulatedModel,
     n_lowlevel: int = 8,
     n_substeps: int = 10,
+    terrain=None,
 ) -> ArtWorld:
     """One full MPC period on the articulated robot."""
     from biped_mpc_py_tpu.sim.engine import com_feedback_state, sole_positions
@@ -97,7 +102,7 @@ def art_closed_loop_tick(
         tau = low_level_control(
             x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0
         )
-        return art_step(model, s, tau, ll_dt, n_substeps), None
+        return art_step(model, s, tau, ll_dt, n_substeps, terrain), None
 
     sim_new, _ = jax.lax.scan(ll_step, sim, None, length=n_lowlevel)
 
@@ -111,7 +116,7 @@ def art_closed_loop_tick(
         lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
     )
     metrics = world.metrics.update(
-        sim_new.x_fb(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)
+        sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)
     )
     return ArtWorld(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
 
@@ -123,15 +128,20 @@ def art_rollout_fn(
     model: ArticulatedModel | None = None,
     n_lowlevel: int = 8,
     n_substeps: int = 10,
+    terrain=None,
 ):
-    """jit-able ``(world, biped) -> world`` articulated rollout closure."""
+    """jit-able ``(world, biped) -> world`` articulated rollout closure.
+
+    ``terrain``: optional :class:`~biped_mpc_py_tpu.sim.contact.Terrain`
+    (height-field rough ground, BASELINE config 4); None = flat plane."""
     model = model or hector_model()
 
     def fn(world: ArtWorld, biped: BipedParams) -> ArtWorld:
         def step(w, _):
             return (
                 art_closed_loop_tick(
-                    w, mpc, gait, biped, model, n_lowlevel, n_substeps
+                    w, mpc, gait, biped, model, n_lowlevel, n_substeps,
+                    terrain,
                 ),
                 None,
             )

@@ -15,19 +15,85 @@ approximated by a thin viscous band of width ``v_slip``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from flax import struct
 
 from biped_mpc_py_tpu.sim.model import ArticulatedModel
 
 
+@struct.dataclass
+class Terrain:
+    """Height-field terrain z = h(x, y) on a regular grid, bilinear-sampled.
+
+    A (H, W) grid spanning ``extent`` meters centered on the origin; outside
+    the grid the terrain is flat at the edge value. ``Terrain.flat()`` is the
+    z=0 plane (the default everywhere). Batched (vmapped) Terrains give
+    per-env rough ground for domain-randomized rollouts (BASELINE config 4).
+
+    Contact uses the height with a VERTICAL normal approximation — valid for
+    the mild slopes of randomized rough ground; true-normal contact is a
+    documented future refinement.
+    """
+
+    heights: jnp.ndarray  # (H, W)
+    extent: float = 8.0  # grid side length [m]
+
+    @classmethod
+    def flat(cls, res: int = 2, dtype=jnp.float32) -> "Terrain":
+        return cls(heights=jnp.zeros((res, res), dtype))
+
+    @classmethod
+    def rough(
+        cls, key: jax.Array, amplitude: float = 0.03, res: int = 64,
+        smooth: int = 2, dtype=jnp.float32,
+    ) -> "Terrain":
+        """Random smooth bumps of the given amplitude (m)."""
+        h = amplitude * jax.random.normal(key, (res, res), dtype)
+        k = jnp.ones((smooth * 2 + 1, smooth * 2 + 1), dtype)
+        k = k / jnp.sum(k)
+        h = jax.scipy.signal.convolve2d(h, k, mode="same")
+        return cls(heights=h)
+
+    def height(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear height sample at world (x, y) (broadcasting)."""
+        H, W = self.heights.shape
+        gx = (x / self.extent + 0.5) * (W - 1)
+        gy = (y / self.extent + 0.5) * (H - 1)
+        gx = jnp.clip(gx, 0.0, W - 1.001)
+        gy = jnp.clip(gy, 0.0, H - 1.001)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        fx = gx - x0
+        fy = gy - y0
+        h00 = self.heights[y0, x0]
+        h01 = self.heights[y0, x0 + 1]
+        h10 = self.heights[y0 + 1, x0]
+        h11 = self.heights[y0 + 1, x0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h01 * fx * (1 - fy)
+            + h10 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+
 def contact_force_world(
-    model: ArticulatedModel, p_w: jnp.ndarray, v_w: jnp.ndarray
+    model: ArticulatedModel,
+    p_w: jnp.ndarray,
+    v_w: jnp.ndarray,
+    terrain: Terrain | None = None,
 ) -> jnp.ndarray:
     """World-frame contact force (…,3) at point(s) p_w with velocity v_w.
 
-    Zero above the ground plane z=0; smooth penalty below.
+    Zero above the ground surface; smooth penalty below. ``terrain=None``
+    means the z=0 plane.
     """
-    phi = p_w[..., 2]
+    if terrain is None:
+        ground = 0.0
+    else:
+        ground = terrain.height(p_w[..., 0], p_w[..., 1])
+    phi = p_w[..., 2] - ground
     phi_dot = v_w[..., 2]
     pen = jnp.maximum(-phi, 0.0)  # penetration depth >= 0
     # spring-damper, damping gated by contact; never adhesive

@@ -61,8 +61,10 @@ class ArtState:
             t=jnp.asarray(0.0, dtype),
         )
 
-    def x_fb(self) -> jnp.ndarray:
-        """Controller feedback state (12,) in the reference convention."""
+    def torso_state(self) -> jnp.ndarray:
+        """Torso-frame feedback state (12,) in the reference convention
+        (use :func:`com_feedback_state` for the controller's hybrid CoM
+        feedback; this is the raw torso state)."""
         R = quat_to_rotm(self.quat)
         eul = quat_to_eul(self.quat)
         w_world = R @ self.v_base[0:3]
@@ -165,12 +167,13 @@ def contact_point_states(model: ArticulatedModel, state: ArtState):
 
 
 def art_substep(
-    model: ArticulatedModel, state: ArtState, tau: jnp.ndarray, dt: float
+    model: ArticulatedModel, state: ArtState, tau: jnp.ndarray, dt: float,
+    terrain=None,
 ) -> ArtState:
     """One semi-implicit Euler substep under joint torques tau (10,)."""
     dtype = state.q.dtype
     points, vels, bodies, (R_wb, _) = contact_point_states(model, state)
-    f_world = contact_force_world(model, points, vels)  # (4,3)
+    f_world = contact_force_world(model, points, vels, terrain)  # (4,3)
 
     # external spatial forces per body, in each body's own frame
     f_ext = [jnp.zeros(6, dtype) for _ in range(N_BODIES)]
@@ -214,12 +217,13 @@ def art_step(
     tau: jnp.ndarray,
     dt: float,
     n_substeps: int = 80,
+    terrain=None,
 ) -> ArtState:
     """Advance one control period (tau held zero-order) with a substep scan."""
     sub_dt = dt / n_substeps
 
     def body(s, _):
-        return art_substep(model, s, tau, sub_dt), None
+        return art_substep(model, s, tau, sub_dt, terrain), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_substeps)
     return state

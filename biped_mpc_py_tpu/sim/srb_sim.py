@@ -103,8 +103,9 @@ def _advance_feet(
     z, control/swing.py); on touch-down (contact flag flips to stance) it is
     dropped to the ground plane.
     """
+    from biped_mpc_py_tpu.control.swing import swing_target_xy
+
     contact_now = contact_sequence(t_new, mpc, gait)[0]  # (2,)
-    fx, fy = _raibert_xy(x_new, mpc, 0.5 * mpc.h * mpc.dt)
     t_phase = jnp.remainder(
         jnp.asarray(t_new, x_new.dtype), mpc.dt * mpc.h / 2
     )
@@ -113,7 +114,8 @@ def _advance_feet(
     sides = jnp.array([1.0, -1.0], x_new.dtype)  # leg 0 (+y offset), leg 1
 
     def one_foot(foot3, c, side):
-        target = jnp.stack([fx, fy + Y_OFFSET * side, fz])
+        fx, fy = swing_target_xy(x_new, mpc, side)
+        target = jnp.stack([fx, fy, fz])
         # swing: track target; stance: stay planted on the ground plane
         swing_pos = target
         stance_pos = foot3.at[2].set(0.0)

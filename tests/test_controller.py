@@ -35,7 +35,13 @@ def _parity_setup():
     """Configs replicating the reference bit-for-bit (compat flags on,
     mismatched FK/Jacobian geometries as in the reference)."""
     ref, fake = load_reference()
-    mpc = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True, compat_force_box_bug=True)
+    mpc = dataclasses.replace(
+        MpcConfig(),
+        compat_foot_ref_bug=True,
+        compat_force_box_bug=True,
+        compat_swing_yaw_bug=True,
+        compat_ref_col0_bug=True,
+    )
     biped = BipedParams(leg=HECTOR_LEG_FK, leg_jac=HECTOR_LEG_JAC)
     return ref, fake, mpc, biped
 

@@ -46,7 +46,7 @@ def test_contact_sequence_jit_vmap():
 
 def test_com_reference_matches_reference(rng):
     ref, _ = load_reference()
-    mpc = MpcConfig()
+    mpc = dataclasses.replace(MpcConfig(), compat_ref_col0_bug=True)
     ref_mpc = ref.MPC()
     for _ in range(5):
         x_fb = rng.normal(size=12) * 0.3
@@ -61,7 +61,9 @@ def test_com_reference_velocity_command_integration(rng):
     ref_mpc = ref.MPC()
     x_cmd = np.array([0, 0, 0.3, 0, 0, 0.55, 0, 0, 0.5, 0.4, 0.0, 0], float)
     ref_mpc.x_cmd = x_cmd
-    mpc = dataclasses.replace(MpcConfig(), x_cmd=jnp.asarray(x_cmd))
+    mpc = dataclasses.replace(
+        MpcConfig(), x_cmd=jnp.asarray(x_cmd), compat_ref_col0_bug=True
+    )
     x_fb = rng.normal(size=12) * 0.2
     r_ref = ref.get_reference_trajectory(x_fb, ref_mpc)
     r_new = np.array(com_reference(jnp.asarray(x_fb), mpc))

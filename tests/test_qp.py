@@ -80,7 +80,7 @@ def test_oracle_reference_tick_solution_sane(tick_golden):
 
 
 def _framework_tick_inputs(ref):
-    mpc = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True, compat_force_box_bug=True)
+    mpc = dataclasses.replace(MpcConfig(), compat_foot_ref_bug=True, compat_force_box_bug=True, compat_ref_col0_bug=True)
     biped = BipedParams()
     x_fb = jnp.asarray(ref.x_fb, jnp.float32)
     foot = jnp.asarray(ref.foot, jnp.float32)

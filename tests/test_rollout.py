@@ -59,18 +59,21 @@ def test_velocity_command_walks_forward():
 
 
 def test_push_recovery():
-    """BASELINE config 4: a 0.3 m/s lateral shove is absorbed by stepping."""
-    mpc, biped = MpcConfig(), BipedParams()
+    """BASELINE config 4: a 0.5 m/s lateral shove is absorbed by stepping
+    (capture-point placement gain; the reference's own T/2 gain caps out
+    near 0.3 m/s — see config.py)."""
+    mpc = dataclasses.replace(MpcConfig(), raibert_capture_gain=1.0)
+    biped = BipedParams()
     f = jax.jit(rollout_fn(50, mpc, GaitConfig()))
     w = f(init_world(mpc), biped)
     w = dataclasses.replace(
-        w, sim=dataclasses.replace(w.sim, x_fb=w.sim.x_fb.at[10].add(0.3))
+        w, sim=dataclasses.replace(w.sim, x_fb=w.sim.x_fb.at[10].add(0.5))
     )
     f2 = jax.jit(rollout_fn(200, mpc, GaitConfig()))
     w = f2(w, biped)
     assert float(w.metrics.falls) == 0
-    assert abs(float(w.sim.x_fb[10])) < 0.4
-    assert 0.4 < float(w.sim.x_fb[5]) < 0.65
+    assert abs(float(w.sim.x_fb[10])) < 0.2
+    assert 0.45 < float(w.sim.x_fb[5]) < 0.65
 
 
 def test_fall_detection_resets():

@@ -29,7 +29,7 @@ def test_articulated_standing(setup):
     mpc = art_mpc_config()
     f = jax.jit(art_rollout_fn(50, mpc, GaitConfig(gait_mode=0), model=model))
     w = f(init_art_world(mpc), biped)
-    x = np.array(w.sim.x_fb())
+    x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
     assert abs(x[5] - 0.55) < 0.02
     assert np.abs(x[0:2]).max() < 0.05
@@ -42,7 +42,7 @@ def test_articulated_walking_10s(setup):
     mpc = art_mpc_config()
     f = jax.jit(art_rollout_fn(250, mpc, GaitConfig(), model=model))
     w = f(init_art_world(mpc), biped)
-    x = np.array(w.sim.x_fb())
+    x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
     assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
     assert abs(x[5] - 0.55) < 0.03
@@ -54,7 +54,7 @@ def test_articulated_velocity_command(setup):
     mpc = art_mpc_config(x_cmd=x_cmd)
     f = jax.jit(art_rollout_fn(250, mpc, GaitConfig(), model=model))
     w = f(init_art_world(mpc), biped)
-    x = np.array(w.sim.x_fb())
+    x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
     assert x[3] > 0.25  # forward progress under the velocity command
 
@@ -68,7 +68,7 @@ def test_articulated_push_recovery(setup):
     w = dataclasses.replace(w, sim=dataclasses.replace(w.sim, v_base=vb))
     f2 = jax.jit(art_rollout_fn(150, mpc, GaitConfig(), model=model))
     w = f2(w, biped)
-    x = np.array(w.sim.x_fb())
+    x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
     assert abs(x[10]) < 0.3 and abs(x[4]) < 0.3
 

@@ -129,7 +129,7 @@ def test_fk_matches_reference_foot_position(model):
 
     s = ArtState.standing(z0=0.533)
     biped = BipedParams()
-    x_fb = s.x_fb()
+    x_fb = s.torso_state()
     pf = np.array(foot_positions_world(x_fb, s.q, biped))
     _, _, _, (R_wb, p_w) = contact_point_states(model, s)
     from biped_mpc_py_tpu.sim.model import FOOT_BODIES
