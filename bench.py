@@ -10,7 +10,9 @@ env-steps/s per slice (25 Hz control). vs_baseline is measured env-steps/s
 per chip over the reference's 4/s.
 
 Env knobs: BENCH_ENVS (default 1024), BENCH_STEPS (default 50),
-BENCH_GAIT (1 walking / 0 standing).
+BENCH_GAIT (1 walking / 0 standing), BENCH_ITERS/BENCH_PHASES/BENCH_POLISH
+(ADMM budget), BENCH_MODE (srb = SRB closed loop [headline], art = full
+articulated stack with 2 kHz Featherstone physics).
 """
 
 import json
@@ -36,20 +38,40 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     gait_mode = int(os.environ.get("BENCH_GAIT", "1"))
 
+    mode = os.environ.get("BENCH_MODE", "srb")
     mpc = dataclasses.replace(
         MpcConfig(),
-        n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
-        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "2")),
+        n_admm_iters=int(os.environ.get("BENCH_ITERS", "30")),
+        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "1")),
         admm_polish=bool(int(os.environ.get("BENCH_POLISH", "1"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()
 
-    worlds = batch_worlds(mpc, n_envs)
-    bipeds = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
-    )
-    fn = jax.jit(f32_precision(batched_rollout_fn(n_steps, mpc, gait)))
+    if mode == "art":
+        from biped_mpc_py_tpu.parallel.rollout_art import (
+            art_mpc_config, batched_art_rollout_fn, init_art_world,
+        )
+
+        mpc = art_mpc_config(
+            n_admm_iters=mpc.n_admm_iters,
+            admm_rho_phases=mpc.admm_rho_phases,
+            admm_polish=mpc.admm_polish,
+        )
+        worlds = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)),
+            init_art_world(mpc),
+        )
+        bipeds = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
+        )
+        fn = jax.jit(f32_precision(batched_art_rollout_fn(n_steps, mpc, gait)))
+    else:
+        worlds = batch_worlds(mpc, n_envs)
+        bipeds = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
+        )
+        fn = jax.jit(f32_precision(batched_rollout_fn(n_steps, mpc, gait)))
 
     t0 = time.time()
     w = fn(worlds, bipeds)

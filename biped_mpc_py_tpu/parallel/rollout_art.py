@@ -47,11 +47,13 @@ def art_mpc_config(**overrides) -> MpcConfig:
       whose reaction torques destabilize the real articulated robot (the
       reference never ran closed-loop; its SRB abstraction ignores leg mass).
       4 cm walks with zero falls and ~0.015 rad attitude RMS.
-    - ``raibert_capture_gain = 1.0``: capture-point foot placement
-      (config.py) — push recovery to 0.5 m/s instead of ~0.3 m/s.
+    - ``raibert_capture_gain = 0.5``: capture-point velocity-error foot
+      placement (config.py); 1.0 (full capture gain) over-steps the real
+      legs — 0.5 gives 0.2 m/s velocity walking AND 0.3 m/s push recovery
+      with zero falls.
     """
     cfg = dataclasses.replace(
-        MpcConfig(), swing_height=0.04, raibert_capture_gain=1.0
+        MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5
     )
     return dataclasses.replace(cfg, **overrides)
 
