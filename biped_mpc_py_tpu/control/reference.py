@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from biped_mpc_py_tpu.config import MpcConfig
-from biped_mpc_py_tpu.control.gait import phase_index
+from biped_mpc_py_tpu.control.gait import phase_index  # noqa: F401  (re-exported)
 
 
 def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
@@ -89,23 +89,26 @@ def foot_reference(
     foot: jnp.ndarray,
     mpc: MpcConfig,
     contact: jnp.ndarray,
-    steps_per_phase: int = 5,
 ) -> jnp.ndarray:
     """Foot-position reference over the horizon -> (6, h).
 
     Parity: reference ``get_reference_foot_trajectory``
     (``bipedalLocomotionMPC.py:72-109``). Columns hold: the current feet for
-    the remaining ``p - kk`` steps of this stance phase, the half-horizon
-    Raibert target for the next phase (p columns), then the full-horizon
-    target (kk columns). Falls back to tiling the current feet when the first
-    horizon step is not single-stance.
+    the remainder of this stance phase, the half-horizon Raibert target for
+    the next phase, then the full-horizon target. Falls back to tiling the
+    current feet when the first horizon step is not single-stance.
+
+    Where the reference re-derives the phase position from modular time
+    (``:99-101``, hard-coding the 5-step cadence), the selector here is the
+    CUMULATIVE CONTACT-FLIP COUNT along the horizon window — identical for
+    the reference gait, but correct for any cadence in GaitConfig.
 
     Known reference defect (``:87``): ``foot_des_y_2`` starts from
     ``x_fb[10]`` (lateral velocity) where the pattern implies ``x_fb[4]``
     (lateral position). Corrected by default; set
     ``mpc.compat_foot_ref_bug=True`` to replicate bit-for-bit.
     """
-    h, p = mpc.h, steps_per_phase
+    h = mpc.h
     fx1, fy1 = _raibert_xy(x_fb, mpc, 0.5 * mpc.h * mpc.dt)
     fx2, fy2 = _raibert_xy(x_fb, mpc, 1.0 * mpc.h * mpc.dt)
     if mpc.compat_foot_ref_bug:
@@ -119,12 +122,10 @@ def foot_reference(
     foot_1 = jnp.stack([fx1, fy1, zero, fx1, fy1, zero])  # (6,)
     foot_2 = jnp.stack([fx2, fy2, zero, fx2, fy2, zero])
 
-    kk = (phase_index(t, mpc) % mpc.h) % p
-    cols = jnp.arange(h, dtype=jnp.int32)
-    # selector: 0 = current foot, 1 = foot_1, 2 = foot_2
-    sel = (cols >= (p - kk)).astype(jnp.int32) + (cols >= (2 * p - kk)).astype(
-        jnp.int32
-    )
+    # selector 0/1/2 = cumulative number of stance flips before column j
+    flips = jnp.any(contact[1:] != contact[:-1], axis=1).astype(jnp.int32)
+    sel = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(flips)])
+    sel = jnp.minimum(sel, 2)
     stacked = jnp.stack([foot, foot_1, foot_2], axis=0)  # (3, 6)
     walking_ref = stacked[sel].T  # (6, h)
     tiled = jnp.broadcast_to(foot[:, None], (6, h))

@@ -426,3 +426,165 @@ def solve_qp(
         controls=x_u, states=states, z=z_u, y=y_u,
         res_prim=res_prim, res_dual=res_dual,
     )
+
+
+def solve_qp_batch(
+    qp: CondensedQp,
+    mpc: MpcConfig,
+    warm: QpSolution | None = None,
+    backend: str = "xla",
+    block_envs: int = 8,
+    interpret: bool = False,
+) -> QpSolution:
+    """Solve a BATCH of condensed QPs (leading env axis on every leaf).
+
+    backend="xla": vmap of :func:`solve_qp` (supports polish).
+    backend="pallas": the fused VMEM-resident kernel
+    (ops/pallas/qp_kernel.py) for the scaled ADMM core — one kernel launch
+    replaces the ~50 small XLA dispatches per solve; no polish (warm-started
+    closed loops don't need it).
+    """
+    if backend == "xla":
+        if warm is None:
+            return jax.vmap(lambda q: solve_qp(q, mpc))(qp)
+        return jax.vmap(lambda q, w: solve_qp(q, mpc, w))(qp, warm)
+
+    from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_admm_solve
+
+    h, nu = mpc.h, 12
+    N = qp.P.shape[0]
+    dtype = qp.P.dtype
+    Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
+    rho_base = jnp.asarray(mpc.admm_rho, dtype)
+    rho_vec = jnp.where((uh - lh) < 1e-6, rho_base * 1e3, rho_base)
+
+    def blockdiag(Ah_one):
+        out = jnp.zeros((h * 24, h * nu), dtype)
+        for k in range(h):
+            out = jax.lax.dynamic_update_slice(out, Ah_one[k], (24 * k, nu * k))
+        return out
+
+    A_dense = jax.vmap(blockdiag)(Ah)
+
+    if warm is None:
+        x0 = jnp.zeros((N, h * nu), dtype)
+        z0 = jnp.zeros((N, h * 24), dtype)
+        y0 = jnp.zeros((N, h * 24), dtype)
+    else:
+        x0 = (warm.controls / D).reshape(N, -1)
+        z0 = (E * warm.z).reshape(N, -1)
+        y0 = (c[:, None, None] * warm.y / E).reshape(N, -1)
+
+    x, z, y = fused_admm_solve(
+        Ph, A_dense, qh, lh.reshape(N, -1), uh.reshape(N, -1),
+        rho_vec.reshape(N, -1), x0, z0, y0,
+        n_iters=mpc.n_admm_iters, sigma=mpc.admm_sigma, alpha=mpc.admm_alpha,
+        block_envs=block_envs, interpret=interpret,
+    )
+    x_u = D * x.reshape(N, h, nu)
+    z_u = z.reshape(N, h, 24) / E
+    y_u = E * y.reshape(N, h, 24) / c[:, None, None]
+
+    def finish(qp1, x1, z1, y1):
+        U = x1.reshape(-1)
+        states = jnp.einsum("kij,j->ki", qp1.Sx, qp1.x0) + (qp1.Su @ U)
+        Ax = jnp.einsum("ij,kj->ki", qp1.A_step, x1)
+        res_prim = jnp.max(jnp.abs(Ax - jnp.clip(Ax, qp1.l, qp1.u)))
+        res_dual = jnp.max(
+            jnp.abs(
+                qp1.P @ U + qp1.q
+                + jnp.einsum("ji,kj->ki", qp1.A_step, y1).reshape(-1)
+            )
+        )
+        return QpSolution(
+            controls=x1, states=states, z=z1, y=y1,
+            res_prim=res_prim, res_dual=res_dual,
+        )
+
+    return jax.vmap(finish)(qp, x_u, z_u, y_u)
+
+
+def sparse_qp_matrices(
+    mpc: MpcConfig,
+    biped: BipedParams,
+    x_fb: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    contact: jnp.ndarray,
+):
+    """The reference's ORIGINAL sparse QP form (C8 parity surface).
+
+    Assembles the 250-variable stacked-states-and-controls matrices exactly
+    as the reference does (H/f: ``bipedalLocomotionMPC.py:277-286``,
+    equality: ``:202-216``, inequalities: ``:219-274``) from the same
+    horizon linearization — provided for users porting code that consumes
+    the sparse form, for oracle cross-checks, and as executable
+    documentation that the condensed form (the fast path) is equivalent.
+
+    Returns (H, f, Aeq, beq, G, h_vec) with h = mpc.h:
+    H (25h, 25h), f (25h,), Aeq (13h, 25h), beq (13h,), G (36h, 25h),
+    h_vec (36h,).
+    """
+    h, nx, nu = mpc.h, 13, 12
+    dtype = A.dtype
+    n = nx * h + nu * h
+    Qd = jnp.asarray(mpc.Q, dtype)
+    Rd = jnp.asarray(mpc.R, dtype)
+    H = 2.0 * jnp.diag(
+        jnp.concatenate([jnp.tile(Qd, h), jnp.tile(Rd, h)])
+    )
+    f = 2.0 * jnp.concatenate(
+        [-(x_ref.T * Qd[None, :]).reshape(-1), jnp.zeros(nu * h, dtype)]
+    )
+
+    x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), dtype)])
+    Aeq = jnp.zeros((nx * h, n), dtype)
+    for i in range(h):
+        Aeq = jax.lax.dynamic_update_slice(
+            Aeq, jnp.eye(nx, dtype=dtype), (nx * i, nx * i)
+        )
+        Aeq = jax.lax.dynamic_update_slice(
+            Aeq, -B[i], (nx * i, nx * h + nu * i)
+        )
+        if i > 0:
+            Aeq = jax.lax.dynamic_update_slice(
+                Aeq, -A[i], (nx * i, nx * (i - 1))
+            )
+    beq = jnp.concatenate(
+        [A[0] @ x0, jnp.zeros(nx * (h - 1), dtype)]
+    )
+
+    # inequalities in the reference's grouped layout: all friction rows
+    # (8h, ``:230-232``), then all box rows (24h upper-then-lower per step,
+    # ``:235-251``), then all line-foot rows (4h, ``:266-271``)
+    R = eul2rotm(x_fb[0:3])
+    F = friction_rows(biped.mu).astype(dtype)
+    LF = line_foot_rows(biped, R).astype(dtype)
+    l, u = constraint_bounds(mpc, biped, contact)
+    ctrl0 = nx * h  # first control column
+
+    def place(rows_per_step, block_fn):
+        G_blk = jnp.zeros((rows_per_step * h, n), dtype)
+        for k in range(h):
+            G_blk = jax.lax.dynamic_update_slice(
+                G_blk, block_fn(k), (rows_per_step * k, ctrl0 + nu * k)
+            )
+        return G_blk
+
+    G_mu = place(8, lambda k: F)
+    G_box = place(
+        24,
+        lambda k: jnp.concatenate(
+            [jnp.eye(nu, dtype=dtype), -jnp.eye(nu, dtype=dtype)], axis=0
+        ),
+    )
+    G_lf = place(4, lambda k: LF)
+    G = jnp.concatenate([G_mu, G_box, G_lf], axis=0)
+    h_box = jnp.concatenate(
+        [jnp.concatenate([u[k, 8:20], -l[k, 8:20]]) for k in range(h)]
+    )
+    h_vec = jnp.concatenate(
+        [jnp.zeros(8 * h, dtype), h_box, jnp.zeros(4 * h, dtype)]
+    )
+    return H, f, Aeq, beq, G, h_vec

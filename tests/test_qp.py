@@ -195,3 +195,26 @@ def test_admm_random_box_qps(rng):
             np.array(sol.controls).reshape(-1), x_star, atol=5e-3,
             err_msg=f"trial {trial}",
         )
+
+
+def test_sparse_assembly_matches_reference_matrices(tick_golden):
+    """sparse_qp_matrices reproduces the reference's captured 250-var QP
+    bit-for-bit (H, f, Aeq, beq, G, h) — C8 assembly parity."""
+    from biped_mpc_py_tpu.control.reference import com_reference, foot_reference
+    from biped_mpc_py_tpu.models.srb import linearize_horizon
+    from biped_mpc_py_tpu.ops.qp import sparse_qp_matrices
+
+    ref, cap, *_ = tick_golden
+    mpc, biped, x_fb, foot, contact = _framework_tick_inputs(ref)
+    x_ref = com_reference(x_fb, mpc)
+    foot_ref = foot_reference(x_fb, 0.0, foot, mpc, contact)
+    A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
+    H, f, Aeq, beq, G, h_vec = sparse_qp_matrices(
+        mpc, biped, x_fb, x_ref, A, B, contact
+    )
+    np.testing.assert_allclose(np.array(H), cap["P"], atol=1e-4)
+    np.testing.assert_allclose(np.array(f), cap["q"], atol=1e-3)
+    np.testing.assert_allclose(np.array(Aeq), cap["A"], atol=1e-5)
+    np.testing.assert_allclose(np.array(beq), cap["b"], atol=1e-5)
+    np.testing.assert_allclose(np.array(G), cap["G"], atol=1e-5)
+    np.testing.assert_allclose(np.array(h_vec), cap["h"], atol=1e-4)

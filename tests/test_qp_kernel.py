@@ -106,3 +106,39 @@ def test_kernel_reaches_solver_quality():
         jnp.zeros((B, 120)), jnp.zeros((B, 240)), jnp.zeros((B, 240)), 120,
     )
     np.testing.assert_allclose(np.array(x_k), np.array(x_r), atol=3e-2)
+
+
+def test_solve_qp_batch_backends_agree():
+    """solve_qp_batch(pallas, interpret) == solve_qp_batch(xla) on the MPC
+    workload (no polish, same iterations)."""
+    import dataclasses
+    from biped_mpc_py_tpu.control.gait import contact_sequence
+    from biped_mpc_py_tpu.control.mpc import build_mpc_qp
+    from biped_mpc_py_tpu.ops.qp import solve_qp_batch
+
+    mpc = dataclasses.replace(
+        MpcConfig(), n_admm_iters=30, admm_rho_phases=1, admm_polish=False
+    )
+    biped = BipedParams()
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    rng = np.random.default_rng(1)
+    n = 8
+    xs = jnp.asarray(
+        rng.normal(size=(n, 12)) * 0.05
+        + np.array([0, 0, 0, 0, 0, 0.53, 0, 0, 0, 0, 0, 0]),
+        jnp.float32,
+    )
+    foot = jnp.tile(
+        jnp.asarray([-0.02, 0.09, 0, -0.02, -0.09, 0], jnp.float32), (n, 1)
+    )
+    qp = jax.vmap(lambda x, f: build_mpc_qp(x, 0.0, f, mpc, biped, contact))(
+        xs, foot
+    )
+    sol_x = solve_qp_batch(qp, mpc, backend="xla")
+    sol_p = solve_qp_batch(qp, mpc, backend="pallas", interpret=True)
+    np.testing.assert_allclose(
+        np.array(sol_p.controls), np.array(sol_x.controls), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.array(sol_p.states), np.array(sol_x.states), atol=5e-3
+    )
