@@ -65,12 +65,16 @@ def _qp_kernel(
     ).astype(f32)
 
     # ---- 2. in-place Cholesky (unblocked, masked rank-1 updates) ----
-    # value-side dynamic_slice is not lowerable on TPU Pallas: columns are
-    # addressed through the ref with pl.ds, scalars via masked reductions
+    # the axon remote Mosaic compiler rejects dynamic lane-dim slicing
+    # (pl.ds on the last axis), so columns are extracted/written with masked
+    # reduce / select over the full VMEM-resident block — bandwidth-cheap in
+    # VMEM and fully supported
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, N_PAD), 1)  # (B,128)
 
     def chol_step(j, _):
-        colj = K_scr[:, :, pl.ds(j, 1)][:, :, 0]  # (B,128)
+        Kv = K_scr[:]
+        at_col = (col_ids == j).astype(f32)[:, None, :]  # (B,1,128)
+        colj = jnp.sum(Kv * at_col, axis=2)  # (B,128)
         at = (col_ids == j).astype(f32)
         d = jnp.sum(colj * at, axis=1)  # (B,) diagonal element
         inv_sqrt = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
@@ -78,9 +82,10 @@ def _qp_kernel(
         cmasked = colj * inv_sqrt[:, None] * below  # (B,128), rows > j
         # L column j: rows > j scaled, diagonal sqrt(d), rows < j zero
         Lcol = cmasked + at * jnp.sqrt(jnp.maximum(d, 1e-30))[:, None]
-        # trailing rank-1 update (only touches rows/cols > j by the mask)
-        K_scr[:] = K_scr[:] - cmasked[:, :, None] * cmasked[:, None, :]
-        K_scr[:, :, pl.ds(j, 1)] = Lcol[:, :, None]
+        # trailing rank-1 update (touches only rows/cols > j by the mask),
+        # then write column j via masked select
+        K_new = Kv - cmasked[:, :, None] * cmasked[:, None, :]
+        K_scr[:] = K_new * (1.0 - at_col) + Lcol[:, :, None] * at_col
         return ()
 
     jax.lax.fori_loop(0, N_PAD, chol_step, (), unroll=False)
@@ -99,7 +104,8 @@ def _qp_kernel(
 
     def fwd_step(j, _):
         # row j of Linv: (e_j - L[j,:j] @ Linv[:j,:]) / L[j,j]
-        Lrow = K_scr[:, pl.ds(j, 1), :][:, 0, :]  # (B,128)
+        at_row = (col_ids == j).astype(f32)[:, :, None]  # (B,128,1)
+        Lrow = jnp.sum(K_scr[:] * at_row, axis=1)  # (B,128)
         at = (col_ids == j).astype(f32)
         diag = jnp.sum(Lrow * at, axis=1)
         strict = (col_ids < j).astype(f32)
@@ -110,7 +116,7 @@ def _qp_kernel(
             preferred_element_type=f32,
         )[:, 0, :]  # (B,128)
         row = (at - contrib) / jnp.maximum(diag, 1e-30)[:, None]
-        Linv_scr[:, pl.ds(j, 1), :] = row[:, None, :]
+        Linv_scr[:] = X * (1.0 - at_row) + row[:, None, :] * at_row
         return ()
 
     jax.lax.fori_loop(0, N_PAD, fwd_step, (), unroll=False)

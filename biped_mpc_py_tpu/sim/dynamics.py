@@ -199,3 +199,201 @@ def forward_dynamics(
     rhs = tau_gen - bias
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+# --------------------------------------------------------------------------
+# Leg-vectorized fast path (HECTOR-specialized).
+#
+# The generic tree loops above dispatch ~150 small XLA ops per evaluation —
+# pure latency on TPU. HECTOR's two legs are structurally identical chains,
+# so every per-body op below carries a leading (2,) leg axis and the
+# sequential depth is 5 levels instead of 10 bodies. Validated against the
+# generic path in tests/test_sim.py (exact to f32).
+# --------------------------------------------------------------------------
+
+from biped_mpc_py_tpu.ops.rotations import skew as _skew  # noqa: E402
+from biped_mpc_py_tpu.sim.spatial import spatial_inertia as _spatial_inertia  # noqa: E402
+
+
+def _leg_transforms(model: ArticulatedModel, q2: jnp.ndarray):
+    """Joint transforms for both legs -> SpatialTransform with (2,5,·) leaves.
+
+    q2: (2,5) joint angles.
+    """
+    dtype = q2.dtype
+    axes = jnp.asarray(JOINT_AXES, dtype).reshape(2, 5, 3)
+    offs = jnp.asarray(model.joint_offset, dtype).reshape(2, 5, 3)
+    K = _skew(axes)  # (2,5,3,3)
+    c = jnp.cos(q2)[..., None, None]
+    s = jnp.sin(q2)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), K.shape)
+    R_pc = eye + s * K + (1 - c) * (K @ K)
+    return SpatialTransform(R=jnp.swapaxes(R_pc, -1, -2), p=offs)
+
+
+def _leg_S(dtype):
+    axes = jnp.asarray(JOINT_AXES, dtype).reshape(2, 5, 3)
+    return jnp.concatenate([axes, jnp.zeros_like(axes)], axis=-1)  # (2,5,6)
+
+
+def _leg_inertias(model: ArticulatedModel):
+    mass = model.mass[1:].reshape(2, 5)
+    com = model.com[1:].reshape(2, 5, 3)
+    rot = model.inertia[1:].reshape(2, 5, 3, 3)
+    return _spatial_inertia(mass, com, rot)  # (2,5,6,6)
+
+
+def _level(X, l):
+    return SpatialTransform(R=X.R[:, l], p=X.p[:, l])
+
+
+def leg_kinematics_lv(model: ArticulatedModel, pos, quat, q, v_base, qd):
+    """World poses and body-frame spatial velocities, leg-vectorized.
+
+    Returns (R_w (2,5,3,3), p_w (2,5,3), v (2,5,6), R0 (3,3)).
+    """
+    dtype = q.dtype
+    q2, qd2 = q.reshape(2, 5), qd.reshape(2, 5)
+    X = _leg_transforms(model, q2)
+    S = _leg_S(dtype)
+    R0 = quat_to_rotm(quat)
+    R_prev = jnp.broadcast_to(R0, (2, 3, 3))
+    p_prev = jnp.broadcast_to(pos, (2, 3))
+    v_prev = jnp.broadcast_to(v_base, (2, 6))
+    R_ws, p_ws, vs = [], [], []
+    for l in range(5):
+        Xl = _level(X, l)
+        p_prev = p_prev + jnp.einsum("lij,lj->li", R_prev, Xl.p)
+        R_prev = R_prev @ jnp.swapaxes(Xl.R, -1, -2)
+        v_prev = xform_motion(Xl, v_prev) + S[:, l] * qd2[:, l, None]
+        R_ws.append(R_prev)
+        p_ws.append(p_prev)
+        vs.append(v_prev)
+    return (
+        jnp.stack(R_ws, axis=1),
+        jnp.stack(p_ws, axis=1),
+        jnp.stack(vs, axis=1),
+        R0,
+    )
+
+
+def rnea_bias_lv(
+    model: ArticulatedModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    v_base: jnp.ndarray,
+    R_base: jnp.ndarray,
+    f_ext_legs: jnp.ndarray,  # (2,5,6) spatial forces in body frames
+    f_ext_base: jnp.ndarray,  # (6,)
+    g: float = 9.81,
+) -> jnp.ndarray:
+    """Leg-vectorized RNEA bias (16,): equals :func:`rnea_bias`."""
+    dtype = q.dtype
+    q2, qd2 = q.reshape(2, 5), qd.reshape(2, 5)
+    X = _leg_transforms(model, q2)
+    S = _leg_S(dtype)
+    I_legs = _leg_inertias(model).astype(dtype)
+
+    a0_lin = R_base.T @ jnp.array([0.0, 0.0, g], dtype)
+    a_base = jnp.concatenate([jnp.zeros(3, dtype), a0_lin])
+    v_prev = jnp.broadcast_to(v_base, (2, 6))
+    a_prev = jnp.broadcast_to(a_base, (2, 6))
+    vs, fs = [], []
+    for l in range(5):
+        Xl = _level(X, l)
+        vJ = S[:, l] * qd2[:, l, None]
+        v_l = xform_motion(Xl, v_prev) + vJ
+        a_l = xform_motion(Xl, a_prev) + crm(v_l, vJ)
+        Iv = jnp.einsum("lij,lj->li", I_legs[:, l], v_l)
+        f_l = (
+            jnp.einsum("lij,lj->li", I_legs[:, l], a_l)
+            + crf(v_l, Iv)
+            - f_ext_legs[:, l]
+        )
+        vs.append(v_l)
+        fs.append(f_l)
+        v_prev, a_prev = v_l, a_l
+
+    bias_cols = [None] * 5
+    f_acc = fs[4]
+    for l in range(4, -1, -1):
+        bias_cols[l] = jnp.sum(S[:, l] * f_acc, axis=-1)  # (2,)
+        f_acc = xform_force_inv(_level(X, l), f_acc)
+        if l > 0:
+            f_acc = f_acc + fs[l - 1]
+    # torso
+    I0 = _spatial_inertia(
+        model.mass[0], model.com[0].astype(dtype), model.inertia[0].astype(dtype)
+    )
+    v0 = v_base
+    f0 = I0 @ a_base + crf(v0, I0 @ v0) - f_ext_base + jnp.sum(f_acc, axis=0)
+    bias_joints = jnp.stack(bias_cols, axis=1).reshape(-1)  # (10,) leg-major
+    return jnp.concatenate([f0, bias_joints])
+
+
+def crba_mass_matrix_lv(model: ArticulatedModel, q: jnp.ndarray) -> jnp.ndarray:
+    """Leg-vectorized CRBA: equals :func:`crba_mass_matrix`."""
+    dtype = q.dtype
+    q2 = q.reshape(2, 5)
+    X = _leg_transforms(model, q2)
+    S = _leg_S(dtype)
+    I_legs = _leg_inertias(model).astype(dtype)
+
+    # composite subtree inertias per level
+    Ic = [None] * 5
+    Ic[4] = I_legs[:, 4]
+    for l in range(4, 0, -1):
+        Ic[l - 1] = I_legs[:, l - 1] + xform_inertia(_level(X, l), Ic[l])
+    I0 = _spatial_inertia(
+        model.mass[0], model.com[0].astype(dtype), model.inertia[0].astype(dtype)
+    )
+    base_block = I0 + jnp.sum(xform_inertia(_level(X, 0), Ic[0]), axis=0)
+
+    Mj = jnp.zeros((2, 5, 5), dtype)  # per-leg joint-joint blocks
+    coup = jnp.zeros((2, 5, 6), dtype)  # per-leg base couplings
+    for j in range(4, -1, -1):
+        F = jnp.einsum("lij,lj->li", Ic[j], S[:, j])  # (2,6)
+        Mj = Mj.at[:, j, j].set(jnp.sum(S[:, j] * F, axis=-1))
+        for k in range(j - 1, -1, -1):
+            F = xform_force_inv(_level(X, k + 1), F)
+            val = jnp.sum(S[:, k] * F, axis=-1)
+            Mj = Mj.at[:, j, k].set(val)
+            Mj = Mj.at[:, k, j].set(val)
+        coup = coup.at[:, j].set(xform_force_inv(_level(X, 0), F))
+
+    M = jnp.zeros((16, 16), dtype)
+    M = M.at[0:6, 0:6].set(base_block)
+    M = M.at[6:11, 6:11].set(Mj[0])
+    M = M.at[11:16, 11:16].set(Mj[1])
+    M = M.at[0:6, 6:11].set(coup[0].T)
+    M = M.at[6:11, 0:6].set(coup[0])
+    M = M.at[0:6, 11:16].set(coup[1].T)
+    M = M.at[11:16, 0:6].set(coup[1])
+    M = M.at[jnp.arange(6, 16), jnp.arange(6, 16)].add(
+        jnp.asarray(model.armature, dtype)
+    )
+    return M
+
+
+def forward_dynamics_lv(
+    model: ArticulatedModel,
+    pos: jnp.ndarray,
+    quat: jnp.ndarray,
+    q: jnp.ndarray,
+    v_base: jnp.ndarray,
+    qd: jnp.ndarray,
+    tau: jnp.ndarray,
+    f_ext_legs: jnp.ndarray,
+    f_ext_base: jnp.ndarray,
+    g: float = 9.81,
+) -> jnp.ndarray:
+    """Leg-vectorized forward dynamics (same semantics as
+    :func:`forward_dynamics`; external forces as (2,5,6)+(6,))."""
+    R_base = quat_to_rotm(quat)
+    bias = rnea_bias_lv(
+        model, q, qd, v_base, R_base, f_ext_legs, f_ext_base, g
+    )
+    M = crba_mass_matrix_lv(model, q)
+    tau_gen = jnp.concatenate([jnp.zeros(6, q.dtype), tau])
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), tau_gen - bias)

@@ -84,36 +84,30 @@ def com_feedback_state(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
     leg-extension meaning (commanding true-CoM height overextends the legs).
     Attitude and angular velocity are the torso's.
     """
-    from biped_mpc_py_tpu.sim.dynamics import (
-        crba_mass_matrix,
-        forward_kinematics,
-        joint_transforms,
+    from biped_mpc_py_tpu.sim.dynamics import leg_kinematics_lv
+
+    dtype = state.q.dtype
+    R_w, p_w, v_legs, R0 = leg_kinematics_lv(
+        model, state.pos, state.quat, state.q, state.v_base, state.qd
     )
-    from biped_mpc_py_tpu.sim.model import JOINT_AXES, PARENT
-    from biped_mpc_py_tpu.sim.spatial import xform_motion
-
-    R_wb, p_w = forward_kinematics(model, state.pos, state.quat, state.q)
-    X_up = joint_transforms(model, state.q)
-    v = [state.v_base]
-    for i in range(1, N_BODIES):
-        j = i - 1
-        S = jnp.concatenate(
-            [jnp.asarray(JOINT_AXES[j], state.q.dtype), jnp.zeros(3, state.q.dtype)]
-        )
-        v.append(xform_motion(X_up[j], v[PARENT[i]]) + S * state.qd[j])
-
+    m_legs = model.mass[1:].reshape(2, 5).astype(dtype)
+    c_legs = model.com[1:].reshape(2, 5, 3).astype(dtype)
     total_m = jnp.sum(model.mass)
-    p_com = jnp.zeros(3, state.q.dtype)
-    mom = jnp.zeros(3, state.q.dtype)
-    for i in range(N_BODIES):
-        ci = model.com[i]
-        p_com = p_com + model.mass[i] * (p_w[i] + R_wb[i] @ ci)
-        v_ci = v[i][3:6] + jnp.cross(v[i][0:3], ci)  # body coords
-        mom = mom + model.mass[i] * (R_wb[i] @ v_ci)
-    p_com = p_com / total_m
-    v_com = mom / total_m
 
-    R = R_wb[0]
+    com_pts = p_w + jnp.einsum("lkij,lkj->lki", R_w, c_legs)  # (2,5,3)
+    v_ci = v_legs[..., 3:6] + jnp.cross(v_legs[..., 0:3], c_legs)
+    mom_legs = jnp.einsum(
+        "lk,lki->i", m_legs, jnp.einsum("lkij,lkj->lki", R_w, v_ci)
+    )
+    c0 = model.com[0].astype(dtype)
+    p_com = (
+        model.mass[0] * (state.pos + R0 @ c0)
+        + jnp.einsum("lk,lki->i", m_legs, com_pts)
+    ) / total_m
+    v0_ci = state.v_base[3:6] + jnp.cross(state.v_base[0:3], c0)
+    v_com = (model.mass[0] * (R0 @ v0_ci) + mom_legs) / total_m
+
+    R = R0
     eul = quat_to_eul(state.quat)
     w_world = R @ state.v_base[0:3]
     # hybrid: CoM xy, torso z (see docstring)
@@ -126,14 +120,14 @@ def com_feedback_state(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
 def sole_positions(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
     """World positions (6,) of both sole centers (the reference's "foot"
     points, FK chain tip at (0,0,-l_foot) in each foot frame)."""
-    from biped_mpc_py_tpu.sim.dynamics import forward_kinematics
+    from biped_mpc_py_tpu.sim.dynamics import leg_kinematics_lv
 
-    R_wb, p_w = forward_kinematics(model, state.pos, state.quat, state.q)
+    R_w, p_w, _, _ = leg_kinematics_lv(
+        model, state.pos, state.quat, state.q, state.v_base, state.qd
+    )
     tip = jnp.array([0.0, 0.0, -0.036], state.q.dtype)
-    out = []
-    for b in FOOT_BODIES:
-        out.append(p_w[b] + R_wb[b] @ tip)
-    return jnp.concatenate(out)
+    soles = p_w[:, 4] + jnp.einsum("lij,j->li", R_w[:, 4], tip)
+    return soles.reshape(6)
 
 
 def contact_point_states(model: ArticulatedModel, state: ArtState):
@@ -170,18 +164,37 @@ def art_substep(
     model: ArticulatedModel, state: ArtState, tau: jnp.ndarray, dt: float,
     terrain=None,
 ) -> ArtState:
-    """One semi-implicit Euler substep under joint torques tau (10,)."""
-    dtype = state.q.dtype
-    points, vels, bodies, (R_wb, _) = contact_point_states(model, state)
-    f_world = contact_force_world(model, points, vels, terrain)  # (4,3)
+    """One semi-implicit Euler substep under joint torques tau (10,).
 
-    # external spatial forces per body, in each body's own frame
-    f_ext = [jnp.zeros(6, dtype) for _ in range(N_BODIES)]
-    for c in range(4):
-        b = bodies[c]
-        f_b = R_wb[b].T @ f_world[c]
-        n_b = jnp.cross(model.contact_points[c], f_b)
-        f_ext[b] = f_ext[b] + jnp.concatenate([n_b, f_b])
+    Uses the leg-vectorized dynamics fast path (sim/dynamics.py): both legs'
+    kinematics/contact/forces carry a (2,) leg axis, halving the op count of
+    the generic tree walk.
+    """
+    from biped_mpc_py_tpu.sim.dynamics import (
+        forward_dynamics_lv,
+        leg_kinematics_lv,
+    )
+
+    dtype = state.q.dtype
+    R_w, p_w, v_b, _ = leg_kinematics_lv(
+        model, state.pos, state.quat, state.q, state.v_base, state.qd
+    )
+    # toe/heel contact points per foot: (2 legs, 2 points, 3)
+    r_local = model.contact_points.reshape(2, 2, 3).astype(dtype)
+    R_wf, p_wf, v_f = R_w[:, 4], p_w[:, 4], v_b[:, 4]
+    pts = p_wf[:, None, :] + jnp.einsum("lij,lpj->lpi", R_wf, r_local)
+    v_pts = jnp.einsum(
+        "lij,lpj->lpi",
+        R_wf,
+        v_f[:, None, 3:6] + jnp.cross(v_f[:, None, 0:3], r_local),
+    )
+    f_world = contact_force_world(model, pts, v_pts, terrain)  # (2,2,3)
+    f_b = jnp.einsum("lji,lpj->lpi", R_wf, f_world)  # world -> foot frame
+    n_b = jnp.cross(r_local, f_b)
+    wrench_foot = jnp.concatenate(
+        [jnp.sum(n_b, axis=1), jnp.sum(f_b, axis=1)], axis=-1
+    )  # (2,6)
+    f_ext_legs = jnp.zeros((2, 5, 6), dtype).at[:, 4].set(wrench_foot)
 
     # soft joint limits + viscous joint damping
     lim = model.joint_limits
@@ -193,9 +206,9 @@ def art_substep(
         - model.joint_limit_damping * state.qd * in_violation
     )
     tau_eff = tau + tau_lim - model.joint_damping * state.qd
-    qdd = forward_dynamics(
+    qdd = forward_dynamics_lv(
         model, state.pos, state.quat, state.q, state.v_base, state.qd,
-        tau_eff, f_ext,
+        tau_eff, f_ext_legs, jnp.zeros(6, dtype),
     )
 
     # semi-implicit: update velocities first, then positions

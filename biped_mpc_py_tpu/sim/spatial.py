@@ -103,25 +103,32 @@ def spatial_inertia(
     """6x6 spatial inertia of a rigid body about its frame origin.
 
     I = [[I_com + m·cx·cxᵀ, m·cx], [m·cxᵀ, m·1]] with cx = skew(com).
+    Broadcasts over leading batch axes.
     """
     cx = skew(com)
-    m = jnp.asarray(mass)
-    top_left = I_com + m * cx @ cx.T
-    top_right = m * cx
-    bottom_left = m * cx.T
-    bottom_right = m * jnp.eye(3, dtype=cx.dtype)
-    return jnp.block([[top_left, top_right], [bottom_left, bottom_right]])
+    m = jnp.asarray(mass)[..., None, None]
+    cxT = jnp.swapaxes(cx, -1, -2)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
+    top = jnp.concatenate(
+        [I_com + m * (cx @ cxT), m * cx], axis=-1
+    )
+    bottom = jnp.concatenate([m * cxT, m * eye3], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
-def xform_inertia(X: SpatialTransform, I: jnp.ndarray) -> jnp.ndarray:
-    """Transform a 6x6 spatial inertia from B to A coordinates:
-    I_A = X_mᵀ(B<-A) ... implemented as I_A = Xf_inv · I · Xm where Xm maps
-    A-motions to B, Xf_inv maps B-forces to A. Materializes the 6x6 motion
-    matrix once (transform of inertias happens only in CRBA's inner
-    accumulation; 6x6 @ 6x6 is still trivial)."""
+def motion_matrix(X: SpatialTransform) -> jnp.ndarray:
+    """Materialized 6x6 motion transform Xm (A->B coords), batched:
+    Xm = [[R, 0], [-R px, R]]."""
     R, p = X.R, X.p
     px = skew(p)
     zero = jnp.zeros_like(R)
-    # motion transform A->B:  Xm = [[R, 0], [-R px, R]]
-    Xm = jnp.block([[R, zero], [-R @ px, R]])
-    return Xm.T @ I @ Xm
+    top = jnp.concatenate([R, zero], axis=-1)
+    bottom = jnp.concatenate([-R @ px, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def xform_inertia(X: SpatialTransform, I: jnp.ndarray) -> jnp.ndarray:
+    """Transform a 6x6 spatial inertia from B (child) to A (parent) coords:
+    I_A = Xmᵀ I Xm with Xm the A->B motion transform. Broadcasts."""
+    Xm = motion_matrix(X)
+    return jnp.swapaxes(Xm, -1, -2) @ I @ Xm
