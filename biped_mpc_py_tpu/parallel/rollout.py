@@ -100,6 +100,24 @@ def batched_rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
     return jax.vmap(rollout_fn(n_steps, mpc, gait))
 
 
+def batched_cmd_rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
+    """Batched rollout with PER-ENV commands: ``(world, biped, x_cmd) ->
+    world`` where x_cmd has a leading env axis (12,). Heterogeneous command
+    batches (each env walking at its own velocity/heading) are the natural
+    extension of BASELINE config 5's domain randomization to the task side.
+    """
+
+    def one(world: World, biped: BipedParams, x_cmd) -> World:
+        mpc_i = dataclasses.replace(mpc, x_cmd=x_cmd)
+
+        def step(w, _):
+            return closed_loop_tick(w, mpc_i, gait, biped), None
+
+        return jax.lax.scan(step, world, None, length=n_steps)[0]
+
+    return jax.vmap(one)
+
+
 def batch_worlds(mpc: MpcConfig, n: int) -> World:
     """A batch of n identical standing worlds (leading axis on every leaf)."""
     w = init_world(mpc)

@@ -158,3 +158,40 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(
         np.array(w_resumed.sim.x_fb), np.array(w_straight.sim.x_fb)
     )
+
+
+def test_gait_transitions_stand_walk_stand():
+    """Runtime gait switching: stand 2 s -> walk 4 s -> stand 2 s without
+    falling (the controller state carries over across mode switches)."""
+    mpc, biped = MpcConfig(), BipedParams()
+    stand = jax.jit(rollout_fn(50, mpc, GaitConfig(gait_mode=0)))
+    walk = jax.jit(rollout_fn(100, mpc, GaitConfig(gait_mode=1)))
+    w = stand(init_world(mpc), biped)
+    w = walk(w, biped)
+    w = stand(w, biped)
+    assert float(w.metrics.falls) == 0
+    assert abs(float(w.sim.x_fb[5]) - 0.55) < 0.02
+    # settling again (residual sway from the walk decays over ~seconds)
+    assert float(jnp.abs(w.sim.x_fb[9:12]).max()) < 0.12
+
+
+def test_per_env_commands():
+    """Each env tracks its own velocity command in one batched rollout."""
+    from biped_mpc_py_tpu.parallel.rollout import batched_cmd_rollout_fn
+
+    mpc = dataclasses.replace(MpcConfig(), raibert_capture_gain=1.0)
+    biped = BipedParams()
+    n = 4
+    vxs = jnp.asarray([0.0, 0.1, 0.2, 0.3], jnp.float32)
+    x_cmds = jnp.zeros((n, 12)).at[:, 5].set(0.55).at[:, 9].set(vxs)
+    worlds = batch_worlds(mpc, n)
+    bipeds = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), biped
+    )
+    f = jax.jit(batched_cmd_rollout_fn(125, mpc, GaitConfig()))
+    w = f(worlds, bipeds, x_cmds)
+    xpos = np.array(w.sim.x_fb[:, 3])
+    assert float(w.metrics.falls.sum()) == 0
+    # progress ordered by commanded speed; fastest env covers real distance
+    assert xpos[0] < 0.15 and xpos[3] > 0.9
+    assert np.all(np.diff(xpos) > 0)
