@@ -161,3 +161,33 @@ def batched_art_rollout_fn(
     **kw,
 ):
     return jax.vmap(art_rollout_fn(n_steps, mpc, gait, model, **kw))
+
+
+def batched_art_rollout_terrain_fn(
+    n_steps: int,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    model: ArticulatedModel | None = None,
+    n_lowlevel: int = 8,
+    n_substeps: int = 10,
+):
+    """Batched articulated rollout with PER-ENV terrain:
+    ``(world, biped, terrain) -> world`` where terrain is a batched
+    :class:`~biped_mpc_py_tpu.sim.contact.Terrain`
+    (``Terrain.rough_batch``) — BASELINE config 4/5 combined: randomized
+    robots on randomized rough ground."""
+    model = model or hector_model()
+
+    def one(world: ArtWorld, biped: BipedParams, terrain) -> ArtWorld:
+        def step(w, _):
+            return (
+                art_closed_loop_tick(
+                    w, mpc, gait, biped, model, n_lowlevel, n_substeps,
+                    terrain,
+                ),
+                None,
+            )
+
+        return jax.lax.scan(step, world, None, length=n_steps)[0]
+
+    return jax.vmap(one)

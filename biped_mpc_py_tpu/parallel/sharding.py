@@ -87,3 +87,47 @@ def make_sharded_batch(
     """Batched standing worlds, sharded over the mesh."""
     world = batch_worlds(mpc, n_envs)
     return shard_world(world, mesh, axis)
+
+
+def sharded_art_rollout_fn(
+    n_steps: int, mpc: MpcConfig, gait: GaitConfig, mesh: Mesh,
+    model=None, axis: str = "env", **kw,
+):
+    """Device-sharded rollout of the FULL ARTICULATED stack:
+    ``(art_worlds, bipeds) -> (art_worlds, summary)`` with the env axis
+    sharded over the mesh and a psum metric reduction — same communication
+    structure as :func:`sharded_rollout_fn` (rollouts are embarrassingly
+    parallel; ICI carries only the final reduction)."""
+    from jax.experimental.shard_map import shard_map
+
+    from biped_mpc_py_tpu.parallel.rollout_art import (
+        art_closed_loop_tick,
+        hector_model,
+    )
+
+    model = model or hector_model()
+
+    def local_rollout(world, biped):
+        def step(w, _):
+            return jax.vmap(
+                lambda wi, bi: art_closed_loop_tick(
+                    wi, mpc, gait, bi, model, **kw
+                )
+            )(w, biped), None
+
+        world, _ = jax.lax.scan(step, world, None, length=n_steps)
+        m = world.metrics
+        summary = {
+            "n_steps": jax.lax.psum(jnp.sum(m.n_steps), axis),
+            "falls": jax.lax.psum(jnp.sum(m.falls), axis),
+            "height_rmse_sum": jax.lax.psum(jnp.sum(m.height_err_sq), axis),
+        }
+        return world, summary
+
+    return shard_map(
+        local_rollout,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )

@@ -55,6 +55,18 @@ class Terrain:
         h = jax.scipy.signal.convolve2d(h, k, mode="same")
         return cls(heights=h)
 
+    @classmethod
+    def rough_batch(
+        cls, key: jax.Array, n: int, amplitude: float = 0.03, res: int = 64,
+        smooth: int = 2,
+    ) -> "Terrain":
+        """A batch of n independent rough terrains (leading env axis) — pair
+        with randomize_params for fully domain-randomized rollouts."""
+        keys = jax.random.split(key, n)
+        return jax.vmap(
+            lambda k: cls.rough(k, amplitude=amplitude, res=res, smooth=smooth)
+        )(keys)
+
     def height(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """Bilinear height sample at world (x, y) (broadcasting)."""
         H, W = self.heights.shape
