@@ -15,8 +15,15 @@ Shapes are padded to the 128-lane tile: n=120 -> 128 variables, m=240 -> 256
 constraint rows; padding rows/cols carry identity/zero so the math is exact.
 
 The kernel is numerically identical (to f32 roundoff) to ops/qp.py's
-``solve_qp`` scaled core and is validated against it in
-tests/test_qp_kernel.py; ``solve_qp(..., backend="pallas")`` routes here.
+``solve_qp`` scaled core, validated in interpreter mode in
+tests/test_qp_kernel.py; ``solve_qp_batch(..., backend="pallas")`` routes
+here.
+
+STATUS: EXPERIMENTAL on hardware. This environment's remote Mosaic compile
+service is unstable for this kernel (nondeterministic compile hangs /
+HTTP-500 crashes across variants; one compiled variant showed a numerical
+divergence attributable to the masked-column factorization lowering).
+The XLA backend remains the production default.
 """
 
 from __future__ import annotations
@@ -71,7 +78,7 @@ def _qp_kernel(
     # VMEM and fully supported
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, N_PAD), 1)  # (B,128)
 
-    def chol_step(j, _):
+    def _chol_step_body(j, carry):
         Kv = K_scr[:]
         at_col = (col_ids == j).astype(f32)[:, None, :]  # (B,1,128)
         colj = jnp.sum(Kv * at_col, axis=2)  # (B,128)
@@ -86,9 +93,13 @@ def _qp_kernel(
         # then write column j via masked select
         K_new = Kv - cmasked[:, :, None] * cmasked[:, None, :]
         K_scr[:] = K_new * (1.0 - at_col) + Lcol[:, :, None] * at_col
-        return ()
+        # carry a live value so the loop cannot be dead-code-eliminated
+        return carry + jnp.sum(d)
 
-    jax.lax.fori_loop(0, N_PAD, chol_step, (), unroll=False)
+    def chol_step(j, carry):
+        return _chol_step_body(j, carry)
+
+    acc = jax.lax.fori_loop(0, N_PAD, chol_step, jnp.float32(0.0), unroll=False)
 
     # ---- 3. Linv by forward substitution, then Kinv = Linv' Linv ----
     L = K_scr[:]  # lower triangle holds L (upper still has stale values)
@@ -102,7 +113,7 @@ def _qp_kernel(
     # L lives in K_scr's lower triangle; zero the stale upper triangle once
     K_scr[:] = L
 
-    def fwd_step(j, _):
+    def fwd_step(j, carry):
         # row j of Linv: (e_j - L[j,:j] @ Linv[:j,:]) / L[j,j]
         at_row = (col_ids == j).astype(f32)[:, :, None]  # (B,128,1)
         Lrow = jnp.sum(K_scr[:] * at_row, axis=1)  # (B,128)
@@ -117,9 +128,9 @@ def _qp_kernel(
         )[:, 0, :]  # (B,128)
         row = (at - contrib) / jnp.maximum(diag, 1e-30)[:, None]
         Linv_scr[:] = X * (1.0 - at_row) + row[:, None, :] * at_row
-        return ()
+        return carry + jnp.sum(diag)
 
-    jax.lax.fori_loop(0, N_PAD, fwd_step, (), unroll=False)
+    acc2 = jax.lax.fori_loop(0, N_PAD, fwd_step, jnp.float32(0.0), unroll=False)
     Linv = Linv_scr[:]
     Kinv = jax.lax.dot_general(
         Linv, Linv, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32
@@ -158,7 +169,9 @@ def _qp_kernel(
     x, z, y = jax.lax.fori_loop(
         0, n_iters, admm_step, (x0_ref[:], z0_ref[:], y0_ref[:])
     )
-    x_out[:] = x
+    # acc/acc2 keep the factorization loops observably live; the term is
+    # exactly zero
+    x_out[:] = x + 0.0 * (acc + acc2)
     z_out[:] = z
     y_out[:] = y
 
