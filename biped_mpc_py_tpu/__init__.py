@@ -26,15 +26,56 @@ Layer map (mirrors SURVEY.md §1):
   L6 driver            -> :mod:`biped_mpc_py_tpu.control.controller`, :mod:`biped_mpc_py_tpu.sim`
 """
 
-from biped_mpc_py_tpu.config import MpcConfig, GaitConfig
-from biped_mpc_py_tpu.models.biped import BipedParams, LegGeometry
+from biped_mpc_py_tpu.config import (
+    GaitConfig,
+    MpcConfig,
+    default_mpc_config,
+    reference_compat_config,
+)
+from biped_mpc_py_tpu.models.biped import (
+    BipedParams,
+    HECTOR_LEG_FK,
+    HECTOR_LEG_JAC,
+    LegGeometry,
+)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience re-exports (avoid importing the full stack eagerly)
+    lazy = {
+        "solve_mpc": ("biped_mpc_py_tpu.control.mpc", "solve_mpc"),
+        "control_tick": ("biped_mpc_py_tpu.control.controller", "control_tick"),
+        "rollout_fn": ("biped_mpc_py_tpu.parallel.rollout", "rollout_fn"),
+        "art_rollout_fn": (
+            "biped_mpc_py_tpu.parallel.rollout_art", "art_rollout_fn",
+        ),
+        "art_mpc_config": (
+            "biped_mpc_py_tpu.parallel.rollout_art", "art_mpc_config",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
+
 
 __all__ = [
     "MpcConfig",
     "GaitConfig",
     "BipedParams",
     "LegGeometry",
+    "HECTOR_LEG_FK",
+    "HECTOR_LEG_JAC",
+    "default_mpc_config",
+    "reference_compat_config",
+    "solve_mpc",
+    "control_tick",
+    "rollout_fn",
+    "art_rollout_fn",
+    "art_mpc_config",
     "__version__",
 ]

@@ -145,3 +145,18 @@ class GaitConfig:
 
 def default_mpc_config(**overrides) -> MpcConfig:
     return dataclasses.replace(MpcConfig(), **overrides)
+
+
+def reference_compat_config(**overrides) -> MpcConfig:
+    """MpcConfig replicating the reference bit-for-bit: every documented
+    defect flag enabled (see docs/DESIGN_NOTES.md for the defect table).
+    Use together with ``BipedParams(leg=HECTOR_LEG_FK, leg_jac=
+    HECTOR_LEG_JAC)`` for full behavioral parity."""
+    cfg = dataclasses.replace(
+        MpcConfig(),
+        compat_foot_ref_bug=True,
+        compat_force_box_bug=True,
+        compat_ref_col0_bug=True,
+        compat_swing_yaw_bug=True,
+    )
+    return dataclasses.replace(cfg, **overrides)
