@@ -81,6 +81,7 @@ def main() -> None:
         from biped_mpc_py_tpu.parallel.rollout import init_world, rollout_fn
 
         roll = jax.jit(f32_precision(rollout_fn(args.rollout_steps, mpc, gait)))
+        jax.block_until_ready(roll(init_world(mpc), biped))  # compile
         t0 = time.perf_counter()
         w = roll(init_world(mpc), biped)
         jax.block_until_ready(w)
