@@ -218,3 +218,28 @@ def test_sparse_assembly_matches_reference_matrices(tick_golden):
     np.testing.assert_allclose(np.array(beq), cap["b"], atol=1e-5)
     np.testing.assert_allclose(np.array(G), cap["G"], atol=1e-5)
     np.testing.assert_allclose(np.array(h_vec), cap["h"], atol=1e-4)
+
+
+def test_admm_extreme_states_stay_finite(tick_golden):
+    """Solver robustness: extreme feedback states (post-shove, mid-fall)
+    produce finite, bounded solutions — the failure-detection contract
+    (residuals reported, no NaNs) holds far off-nominal."""
+    ref, *_ = tick_golden
+    mpc, biped, _, foot, contact = _framework_tick_inputs(ref)
+    rng_l = np.random.default_rng(11)
+    for trial in range(4):
+        x_fb = jnp.asarray(
+            rng_l.normal(size=12) * np.array([0.4] * 3 + [0.5] * 3 + [2.0] * 6),
+            jnp.float32,
+        ).at[5].set(0.3 + 0.4 * rng_l.random())
+        sol = solve_mpc(x_fb, 0.12, foot, mpc, biped, contact)
+        assert np.isfinite(np.array(sol.controls)).all(), trial
+        assert np.isfinite(float(sol.res_prim))
+        # force bounds respected to within the fixed-iteration tolerance
+        # (sub-Newton violations at extreme off-nominal states are expected
+        # and REPORTED via res_prim — unlike the reference, which never
+        # checks its solver status)
+        u = np.array(sol.controls)
+        assert (u[:, [2, 5]] <= 500.0 + 1.0).all()
+        assert (u[:, [2, 5]] >= -1.0).all()
+        assert float(sol.res_prim) < 5.0
