@@ -31,7 +31,10 @@ def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
     Standing (gait_mode=0): both feet in stance (reference ``:483-484``).
     """
     p = gait.steps_per_phase
-    k = phase_index(t, mpc) % mpc.h
+    # Absolute step, NOT wrapped at mpc.h: `steps % (2p)` below is the only
+    # periodicity, so any steps_per_phase keeps p-step stance phases aligned
+    # with absolute time (a `% h` here breaks every cadence with 2p != h).
+    k = phase_index(t, mpc)
     steps = k + jnp.arange(mpc.h, dtype=jnp.int32)
     left = ((steps % (2 * p)) < p).astype(jnp.float32)
     walking = jnp.stack([left, 1.0 - left], axis=-1)

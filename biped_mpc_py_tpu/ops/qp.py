@@ -99,12 +99,8 @@ def line_foot_rows(biped: BipedParams, R: jnp.ndarray) -> jnp.ndarray:
     """
     lt = biped.lt - 0.01
     lh = biped.lh - 0.02
-    a = R[2, :]  # e3ᵀ Rᵀ = third row of R... of R? e3ᵀRᵀ = (R e3)ᵀ? No:
-    # [0,0,1] @ R.T picks the third COLUMN of R.T^T = third row of R? Let's be
-    # exact: ([0,0,1] @ R.T)_j = R.T[2->? ; actually ([0,0,1]@R.T)_j =
-    # sum_k e3_k R.T[k,j] = R.T[2,j] = R[j,2] -> third COLUMN of R.
-    a = R[:, 2]
-    b = R[:, 1]  # [0,1,0] @ R.T = second column of R
+    a = R[:, 2]  # ([0,0,1] @ Rᵀ)_j = R[j,2]: third column of R
+    b = R[:, 1]  # ([0,1,0] @ Rᵀ)_j = R[j,1]: second column of R
     z3 = jnp.zeros(3, R.dtype)
     rows = jnp.stack(
         [

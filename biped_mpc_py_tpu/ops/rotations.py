@@ -2,10 +2,13 @@
 
 TPU-native rebuild of the reference math layer (``bipedalLocomotionMPC.py:
 111-146``): pure ``jnp``, shape-polymorphic over leading batch axes, no host
-branches. The reference's two Euler conventions (SURVEY.md C6) are collapsed
-into one: **eul = [roll, pitch, yaw]**, R = Rz(yaw) @ Ry(pitch) @ Rx(roll),
-which equals both the reference's ``eul2rotm`` (``:124-138``) and its scipy
-``R.from_euler('zyx', [yaw, pitch, roll])`` call (``:154-156``).
+branches. The reference's conflicting Euler conventions (SURVEY.md C6) are
+collapsed into one: **eul = [roll, pitch, yaw]**, R = Rz(yaw) @ Ry(pitch)
+@ Rx(roll) (intrinsic ZYX), matching the reference's ``eul2rotm``
+(``:124-138``). The reference's scipy ``R.from_euler('zyx', [yaw, pitch,
+roll])`` call (``:154-156``) is a *third*, deviating convention (lowercase
+'zyx' is extrinsic = Rx@Ry@Rz) that coincides with this one only at special
+attitudes; models/srb.py and docs/DESIGN_NOTES.md document that deviation.
 """
 
 from __future__ import annotations

@@ -17,8 +17,6 @@ import numpy as np
 
 def metrics_to_dict(metrics) -> dict:
     """Flatten a metrics pytree (e.g. RolloutMetrics) to plain floats."""
-    leaves, _ = jax.tree.flatten(metrics)
-    names = list(vars(metrics).keys()) if hasattr(metrics, "__dict__") else None
     out = {}
     fields = getattr(metrics, "__dataclass_fields__", None)
     if fields:
@@ -26,6 +24,7 @@ def metrics_to_dict(metrics) -> dict:
             v = np.asarray(getattr(metrics, name))
             out[name] = float(v.sum()) if v.ndim else float(v)
     else:
+        leaves, _ = jax.tree.flatten(metrics)
         for i, leaf in enumerate(leaves):
             out[f"leaf_{i}"] = float(np.asarray(leaf).sum())
     return out

@@ -30,6 +30,28 @@ def test_contact_sequence_matches_reference_all_phases():
         np.testing.assert_array_equal(c_new, c_ref, err_msg=f"t={t}")
 
 
+@pytest.mark.parametrize("p", [2, 3, 4, 7])
+def test_contact_sequence_nondefault_cadence_phase_continuity(p):
+    """Each stance phase lasts exactly p MPC steps over several periods of
+    absolute time (regression: a `% h` wrap at gait.py corrupted every
+    cadence with 2p != h, ADVICE round 1)."""
+    mpc, gait = MpcConfig(), GaitConfig(steps_per_phase=p)
+    n_steps = 6 * 2 * p  # six full gait periods
+    # Left-stance flag of the window's FIRST column at each absolute step.
+    left = np.array(
+        [contact_sequence(k * mpc.dt + 1e-3, mpc, gait)[0, 0]
+         for k in range(n_steps)]
+    )
+    expected = ((np.arange(n_steps) % (2 * p)) < p).astype(float)
+    np.testing.assert_array_equal(left, expected)
+    # And the whole window is consistent: column j at step k equals
+    # column 0 at step k+j (the window is a pure slide over one timeline).
+    for k in range(0, n_steps - mpc.h, 3):
+        win = np.array(contact_sequence(k * mpc.dt + 1e-3, mpc, gait))
+        np.testing.assert_array_equal(win[:, 0], expected[k:k + mpc.h])
+        np.testing.assert_array_equal(win[:, 1], 1.0 - expected[k:k + mpc.h])
+
+
 def test_contact_sequence_standing():
     c = np.array(contact_sequence(0.12, MpcConfig(), GaitConfig(gait_mode=0)))
     np.testing.assert_array_equal(c, np.ones((10, 2)))

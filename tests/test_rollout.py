@@ -160,6 +160,30 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     )
 
 
+def test_checkpoint_rejects_mismatched_structure(tmp_path):
+    """Loading into a wrong structure/shape must raise, not silently
+    produce garbage (round-1 VERDICT weak #6)."""
+    import pytest
+
+    from biped_mpc_py_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": jnp.arange(4.0), "b": jnp.zeros((2, 3))}
+    path = tmp_path / "ckpt.npz"
+    save_pytree(str(path), tree)
+    # wrong treedef (different keys)
+    with pytest.raises(ValueError, match="treedef"):
+        load_pytree(str(path), {"a": jnp.zeros(4), "c": jnp.zeros((2, 3))})
+    # wrong leaf count
+    with pytest.raises(ValueError):
+        load_pytree(str(path), {"a": jnp.zeros(4)})
+    # wrong shape, same structure
+    with pytest.raises(ValueError, match="shape"):
+        load_pytree(str(path), {"a": jnp.zeros(5), "b": jnp.zeros((2, 3))})
+    # matching structure round-trips
+    out = load_pytree(str(path), jax.tree.map(jnp.zeros_like, tree))
+    np.testing.assert_array_equal(np.array(out["a"]), np.arange(4.0))
+
+
 def test_gait_transitions_stand_walk_stand():
     """Runtime gait switching: stand 2 s -> walk 4 s -> stand 2 s without
     falling (the controller state carries over across mode switches)."""
