@@ -67,11 +67,19 @@ def main() -> None:
         )
         fn = jax.jit(f32_precision(batched_art_rollout_fn(n_steps, mpc, gait)))
     else:
+        backend = os.environ.get("BENCH_BACKEND", "xla")
+        block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "8"))
         worlds = batch_worlds(mpc, n_envs)
         bipeds = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
         )
-        fn = jax.jit(f32_precision(batched_rollout_fn(n_steps, mpc, gait)))
+        fn = jax.jit(
+            f32_precision(
+                batched_rollout_fn(
+                    n_steps, mpc, gait, backend=backend, block_envs=block_envs
+                )
+            )
+        )
 
     t0 = time.time()
     w = fn(worlds, bipeds)

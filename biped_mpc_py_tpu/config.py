@@ -79,6 +79,16 @@ class MpcConfig:
     # sqrt(z_cmd/g)`` (1.0 = exact capture point; shoves to 0.5 m/s are
     # absorbed with zero falls).
     raibert_capture_gain: float = 0.0
+    # Command-frame semantics (static: selects the reference-generation
+    # trace). False (default) = the reference's WORLD-frame ``x_cmd``
+    # (``bipedalLocomotionMPC.py:26``): velocity commands are fixed world
+    # vectors, so a yaw-rate command makes the body crab rather than turn.
+    # True = body/heading-frame velocity commands: x_cmd[9:11] is the
+    # velocity in the HEADING frame and x_cmd[8] the turn rate; the CoM
+    # reference integrates the commanded arc in closed form and the Raibert
+    # foot placement rotates with the heading — walking turns track the
+    # commanded rate (BASELINE config 3: turning and lateral stepping).
+    cmd_body_frame: bool = struct.field(pytree_node=False, default=False)
     # --- solver settings (no reference analog; cvxopt defaults there) ---
     # number of ADMM iterations (static: unrolled/scanned at trace time)
     n_admm_iters: int = struct.field(pytree_node=False, default=60)

@@ -73,8 +73,8 @@ def control_tick(
     pf_w = foot_positions_world(x_fb, q, biped)
     contact = contact_sequence(t, mpc, gait)
     warm = None if ctrl_state is None else ctrl_state.qp
-    sol = solve_mpc(x_fb, t, pf_w, mpc, biped, contact, warm=warm)
+    sol = solve_mpc(x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait)
     tau = low_level_control(
-        x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0]
+        x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0], gait=gait
     )
     return tau, ControllerState(qp=sol), sol

@@ -19,6 +19,18 @@ def phase_index(t, mpc: MpcConfig) -> jnp.ndarray:
     return jnp.floor(jnp.asarray(t) / mpc.dt).astype(jnp.int32)
 
 
+def phase_time(mpc: MpcConfig, gait: GaitConfig | None) -> float:
+    """Single-stance phase duration [s]: ``steps_per_phase * dt``.
+
+    ``gait=None`` falls back to the reference's hard-coded relation
+    p = h/2 (``bipedalLocomotionMPC.py:436``: swing clock ``dt*h/2``) so
+    legacy call sites keep reference behavior; all framework loops pass
+    their GaitConfig so cadence is a single knob.
+    """
+    p = gait.steps_per_phase if gait is not None else mpc.h // 2
+    return p * mpc.dt
+
+
 def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
     """Contact flags over the horizon -> (h, 2) in {0., 1.}.
 

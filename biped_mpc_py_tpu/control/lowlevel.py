@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from biped_mpc_py_tpu.config import MpcConfig
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.swing import swing_leg_force
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.models.kinematics import leg_jacobians
@@ -30,6 +30,7 @@ def low_level_control(
     biped: BipedParams,
     contact: jnp.ndarray,
     u0: jnp.ndarray,
+    gait: GaitConfig | None = None,
 ) -> jnp.ndarray:
     """Joint torques (10,) from the first MPC control.
 
@@ -39,6 +40,8 @@ def low_level_control(
       contact: (h,2) horizon contact flags (only row 0 is used, reference
         ``:446``).
       u0: (12,) first-step MPC control [f_l, f_r, m_l, m_r].
+      gait: sets the swing clock's phase period (None = reference h/2
+        relation).
     """
     R = eul2rotm(x_fb[0:3])
     c0 = contact[0, 0:2]
@@ -47,7 +50,7 @@ def low_level_control(
     def one_leg(q5, qd5, side, pf3, f3, m3, c):
         jm, jf = leg_jacobians(q5, side, biped.jac_geometry)
         vf_w = R.T @ (jf @ qd5)
-        f_swing = swing_leg_force(x_fb, t, pf3, vf_w, mpc, side)
+        f_swing = swing_leg_force(x_fb, t, pf3, vf_w, mpc, side, gait)
         u_w = -jnp.concatenate([R.T @ f3, R.T @ m3])
         tau_stance = jm.T @ u_w
         tau_swing = jf.T @ f_swing

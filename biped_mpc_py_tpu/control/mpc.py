@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from biped_mpc_py_tpu.config import MpcConfig
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.reference import com_reference, foot_reference
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.models.srb import linearize_horizon
@@ -29,10 +29,15 @@ def build_mpc_qp(
     mpc: MpcConfig,
     biped: BipedParams,
     contact: jnp.ndarray,
+    gait: GaitConfig | None = None,
 ) -> CondensedQp:
-    """Assemble the condensed MPC QP for one tick (no solve)."""
+    """Assemble the condensed MPC QP for one tick (no solve).
+
+    ``gait`` sets the foot-reference Raibert lookaheads to the configured
+    cadence (None = the reference's hard-coded h/2 relation).
+    """
     x_ref = com_reference(x_fb, mpc)
-    foot_ref = foot_reference(x_fb, t, foot, mpc, contact)
+    foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait)
     A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
     return condense(mpc, biped, x_fb, x_ref, A, B, contact)
 
@@ -45,10 +50,11 @@ def solve_mpc(
     biped: BipedParams,
     contact: jnp.ndarray,
     warm: QpSolution | None = None,
+    gait: GaitConfig | None = None,
 ) -> QpSolution:
     """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
     controls, ADMM iterates (reusable as next tick's warm start), and
     primal/dual residuals (the failure-detection signal the reference never
     checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
-    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact)
+    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact, gait)
     return solve_qp(qp, mpc, warm)

@@ -13,8 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from biped_mpc_py_tpu.config import MpcConfig
-from biped_mpc_py_tpu.control.gait import phase_index  # noqa: F401  (re-exported)
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.gait import phase_index, phase_time  # noqa: F401
 
 
 def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
@@ -34,6 +34,14 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     tracking, total yaw-command stall). Corrected default: targets indexed
     by k+1 with no feedback column. ``mpc.compat_ref_col0_bug=True``
     replicates the reference bit-for-bit.
+
+    ``mpc.cmd_body_frame=True`` (framework extension, no reference analog):
+    x_cmd[9:11] is the velocity in the HEADING frame and x_cmd[8] the turn
+    rate. The xy reference integrates the commanded circular arc in closed
+    form from the current pose/heading, the yaw reference ramps at the turn
+    rate, and the velocity reference rotates with the predicted heading —
+    so walking turns have a consistent (position, velocity, yaw) target
+    instead of the world-frame crab the reference commands imply.
     """
     h = mpc.h
     if mpc.compat_ref_col0_bug:
@@ -45,6 +53,29 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     pose_hold = jnp.broadcast_to(mpc.x_cmd[:6, None], (6, h))
     pose = jnp.where(v_cmd[:, None] != 0, pose_int, pose_hold)
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
+    if mpc.cmd_body_frame:
+        dtk = ks * mpc.dt  # (h,)
+        yaw0 = x_fb[2]
+        wz = mpc.x_cmd[8]
+        vbx, vby = mpc.x_cmd[9], mpc.x_cmd[10]
+        yaw_k = yaw0 + wz * dtk  # (h,)
+        # closed-form arc integral of p_dot = Rz(yaw0 + wz s) @ v_body:
+        #   ax = ∫cos = (sin(yaw_k) - sin(yaw0)) / wz, ay = ∫sin
+        # with the wz -> 0 limit dtk*cos(yaw0) / dtk*sin(yaw0)
+        small = jnp.abs(wz) < 1e-6
+        w_safe = jnp.where(small, jnp.ones_like(wz), wz)
+        ax = jnp.where(
+            small, dtk * jnp.cos(yaw0), (jnp.sin(yaw_k) - jnp.sin(yaw0)) / w_safe
+        )
+        ay = jnp.where(
+            small, dtk * jnp.sin(yaw0), (jnp.cos(yaw0) - jnp.cos(yaw_k)) / w_safe
+        )
+        px = x_fb[3] + ax * vbx - ay * vby
+        py = x_fb[4] + ay * vbx + ax * vby
+        vx = jnp.cos(yaw_k) * vbx - jnp.sin(yaw_k) * vby
+        vy = jnp.sin(yaw_k) * vbx + jnp.cos(yaw_k) * vby
+        pose = pose.at[2].set(yaw0 + wz * dtk).at[3].set(px).at[4].set(py)
+        vel = vel.at[3].set(vx).at[4].set(vy)
     ones = jnp.ones((1, h), x_fb.dtype)
     x_ref = jnp.concatenate([pose, vel, ones], axis=0)
     if mpc.compat_ref_col0_bug:
@@ -64,22 +95,28 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
     see config.py for the measured robustness difference.
     """
     ff = 0.5 * lookahead  # reference's feedforward coefficient
+    if mpc.cmd_body_frame:
+        # heading-frame velocity command rotated into the world by the
+        # CURRENT yaw; velocity mode has no world p_cmd, so the kv
+        # station-keeping term is dropped (foot placement + Q damp drift)
+        yaw = x_fb[2]
+        vcx = jnp.cos(yaw) * mpc.x_cmd[9] - jnp.sin(yaw) * mpc.x_cmd[10]
+        vcy = jnp.sin(yaw) * mpc.x_cmd[9] + jnp.cos(yaw) * mpc.x_cmd[10]
+        kv_x = kv_y = 0.0
+    else:
+        vcx, vcy = mpc.x_cmd[9], mpc.x_cmd[10]
+        kv_x = mpc.kv * (x_fb[3] - mpc.x_cmd[3])
+        kv_y = mpc.kv * (x_fb[4] - mpc.x_cmd[4])
     if mpc.raibert_capture_gain:
         # capture-point feedback on the velocity ERROR (raw-velocity capture
         # feedback brakes steady walking; error feedback leaves the neutral
         # point at the commanded speed)
         kc = mpc.raibert_capture_gain * jnp.sqrt(mpc.x_cmd[5] / 9.81)
-        fx = (
-            x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - mpc.x_cmd[9])
-            + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
-        )
-        fy = (
-            x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - mpc.x_cmd[10])
-            + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
-        )
+        fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
+        fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
         return fx, fy
-    fx = x_fb[3] + x_fb[9] * ff + mpc.kv * (x_fb[3] - mpc.x_cmd[3])
-    fy = x_fb[4] + x_fb[10] * ff + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
+    fx = x_fb[3] + x_fb[9] * ff + kv_x
+    fy = x_fb[4] + x_fb[10] * ff + kv_y
     return fx, fy
 
 
@@ -89,6 +126,7 @@ def foot_reference(
     foot: jnp.ndarray,
     mpc: MpcConfig,
     contact: jnp.ndarray,
+    gait: GaitConfig | None = None,
 ) -> jnp.ndarray:
     """Foot-position reference over the horizon -> (6, h).
 
@@ -107,10 +145,16 @@ def foot_reference(
     ``x_fb[10]`` (lateral velocity) where the pattern implies ``x_fb[4]``
     (lateral position). Corrected by default; set
     ``mpc.compat_foot_ref_bug=True`` to replicate bit-for-bit.
+
+    ``gait`` sets the Raibert lookaheads to one/two stance phases
+    (``steps_per_phase*dt`` / twice that); ``None`` keeps the reference's
+    hard-coded h/2·dt and h·dt (``:73-89``) — identical at the default
+    cadence, correct for every other one.
     """
     h = mpc.h
-    fx1, fy1 = _raibert_xy(x_fb, mpc, 0.5 * mpc.h * mpc.dt)
-    fx2, fy2 = _raibert_xy(x_fb, mpc, 1.0 * mpc.h * mpc.dt)
+    t_p = phase_time(mpc, gait)
+    fx1, fy1 = _raibert_xy(x_fb, mpc, t_p)
+    fx2, fy2 = _raibert_xy(x_fb, mpc, 2.0 * t_p)
     if mpc.compat_foot_ref_bug:
         # reference ``:87``: x_fb[10] in place of x_fb[4]
         fy2 = (

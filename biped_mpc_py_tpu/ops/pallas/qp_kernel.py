@@ -83,12 +83,15 @@ def _qp_kernel(
         at_col = (col_ids == j).astype(f32)[:, None, :]  # (B,1,128)
         colj = jnp.sum(Kv * at_col, axis=2)  # (B,128)
         at = (col_ids == j).astype(f32)
-        d = jnp.sum(colj * at, axis=1)  # (B,) diagonal element
-        inv_sqrt = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        # keepdims: rank-1 (B,) intermediates trigger Mosaic "invalid
+        # relayout" (replicated logical dim) on this toolchain — keep every
+        # reduction 2-D
+        d = jnp.sum(colj * at, axis=1, keepdims=True)  # (B,1) diagonal elt
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(d, 1e-30))  # (B,1)
         below = (col_ids > j).astype(f32)
-        cmasked = colj * inv_sqrt[:, None] * below  # (B,128), rows > j
+        cmasked = colj * inv_sqrt * below  # (B,128), rows > j
         # L column j: rows > j scaled, diagonal sqrt(d), rows < j zero
-        Lcol = cmasked + at * jnp.sqrt(jnp.maximum(d, 1e-30))[:, None]
+        Lcol = cmasked + at * jnp.sqrt(jnp.maximum(d, 1e-30))
         # trailing rank-1 update (touches only rows/cols > j by the mask),
         # then write column j via masked select
         K_new = Kv - cmasked[:, :, None] * cmasked[:, None, :]
@@ -118,7 +121,7 @@ def _qp_kernel(
         at_row = (col_ids == j).astype(f32)[:, :, None]  # (B,128,1)
         Lrow = jnp.sum(K_scr[:] * at_row, axis=1)  # (B,128)
         at = (col_ids == j).astype(f32)
-        diag = jnp.sum(Lrow * at, axis=1)
+        diag = jnp.sum(Lrow * at, axis=1, keepdims=True)  # (B,1)
         strict = (col_ids < j).astype(f32)
         Lrow_m = Lrow * strict  # only cols < j
         X = Linv_scr[:]
@@ -126,7 +129,7 @@ def _qp_kernel(
             Lrow_m[:, None, :], X, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32,
         )[:, 0, :]  # (B,128)
-        row = (at - contrib) / jnp.maximum(diag, 1e-30)[:, None]
+        row = (at - contrib) / jnp.maximum(diag, 1e-30)
         Linv_scr[:] = X * (1.0 - at_row) + row[:, None, :] * at_row
         return carry + jnp.sum(diag)
 
@@ -135,6 +138,24 @@ def _qp_kernel(
     Kinv = jax.lax.dot_general(
         Linv, Linv, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32
     )  # Linv' @ Linv  (B,128,128)
+
+    # Newton-Schulz refinement: the scaled K has cond ~1e4-1e6 (the 1e3
+    # equality-rho boost), so ANY f32 inverse lands at ||K Kinv - I|| ~ 4e-2
+    # (measured; XLA's cho_solve inverse is no better). Each NS step squares
+    # that residual (4e-2 -> 1.6e-3 -> ~3e-6), making the 30-iteration ADMM
+    # trajectory insensitive to factorization roundoff — pure MXU work.
+    K_full = P + AtRA + (sigma + 1e-30) * eyef[None] + eyef[None] * (
+        jax.lax.broadcasted_iota(jnp.int32, (N_PAD, N_PAD), 0)[None] >= 120
+    ).astype(f32)
+    for _ in range(2):
+        KK = jax.lax.dot_general(
+            K_full, Kinv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        Kinv = jax.lax.dot_general(
+            Kinv, 2.0 * eyef[None] - KK, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
 
     # ---- 4. ADMM iterations ----
     q = q_ref[:]

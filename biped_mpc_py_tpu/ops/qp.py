@@ -313,6 +313,13 @@ def solve_qp(
         # dense inverse once per phase -> iterations are pure matmuls
         L = jnp.linalg.cholesky(K)
         Kinv = jax.scipy.linalg.cho_solve((L, True), eyeN)
+        # Newton-Schulz refinement: cond(K) ~ 1e4-1e6 (equality-rho boost)
+        # puts the raw f32 inverse at ||K Kinv - I|| ~ 4e-2; two NS steps
+        # square the residual to ~3e-6 so the fixed-iteration ADMM
+        # trajectory is factorization-roundoff-insensitive (and matches the
+        # fused Pallas kernel, which applies the same refinement).
+        for _ in range(2):
+            Kinv = Kinv @ (2.0 * eyeN - K @ Kinv)
 
         def iteration(carry, _):
             x, z, y = carry

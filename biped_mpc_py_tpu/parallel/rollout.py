@@ -22,8 +22,9 @@ from flax import struct
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.controller import ControllerState
 from biped_mpc_py_tpu.control.gait import contact_sequence
-from biped_mpc_py_tpu.control.mpc import solve_mpc
+from biped_mpc_py_tpu.control.mpc import build_mpc_qp, solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.qp import solve_qp_batch
 from biped_mpc_py_tpu.sim.srb_sim import SrbState, srb_step
 from biped_mpc_py_tpu.utils.metrics import RolloutMetrics
 
@@ -50,6 +51,28 @@ def init_world(mpc: MpcConfig, z0: float = 0.53) -> World:
     )
 
 
+def _finish_tick(sim_new, sol, metrics, mpc: MpcConfig) -> World:
+    """Per-env fall detection + in-batch auto reset + metrics update
+    (shared by the single-env tick and the batched-solver tick; vmap for
+    batches)."""
+    z = sim_new.x_fb[5]
+    fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
+    reset = SrbState.standing(dtype=sim_new.x_fb.dtype)
+    reset = dataclasses.replace(reset, t=sim_new.t)  # keep the clock
+    sim_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), reset, sim_new
+    )
+    ctrl_reset = ControllerState.init(mpc, dtype=sim_new.x_fb.dtype)
+    ctrl_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
+    )
+    metrics = metrics.update(
+        sim_new.x_fb, mpc.x_cmd, sol.controls[0], sol.res_prim,
+        fell.astype(sim_new.x_fb.dtype),
+    )
+    return World(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
+
+
 def closed_loop_tick(
     world: World, mpc: MpcConfig, gait: GaitConfig, biped: BipedParams
 ) -> World:
@@ -57,28 +80,45 @@ def closed_loop_tick(
     sim = world.sim
     contact = contact_sequence(sim.t, mpc, gait)
     sol = solve_mpc(
-        sim.x_fb, sim.t, sim.foot, mpc, biped, contact, warm=world.ctrl.qp
+        sim.x_fb, sim.t, sim.foot, mpc, biped, contact, warm=world.ctrl.qp,
+        gait=gait,
     )
-    u0 = sol.controls[0]
-    sim_new = srb_step(sim, u0, mpc, gait, biped)
+    sim_new = srb_step(sim, sol.controls[0], mpc, gait, biped)
+    return _finish_tick(sim_new, sol, world.metrics, mpc)
 
-    # fall detection + in-batch auto reset
-    z = sim_new.x_fb[5]
-    fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
-    reset = SrbState.standing(dtype=sim.x_fb.dtype)
-    reset = dataclasses.replace(reset, t=sim_new.t)  # keep the clock
-    sim_next = jax.tree.map(
-        lambda r, s: jnp.where(fell, r, s), reset, sim_new
-    )
-    ctrl_reset = ControllerState.init(mpc, dtype=sim.x_fb.dtype)
-    ctrl_next = jax.tree.map(
-        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
-    )
 
-    metrics = world.metrics.update(
-        sim_new.x_fb, mpc.x_cmd, u0, sol.res_prim, fell.astype(sim.x_fb.dtype)
+def batched_closed_loop_tick(
+    world: World,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    biped: BipedParams,
+    backend: str = "xla",
+    block_envs: int = 8,
+) -> World:
+    """One fused tick for a BATCH of envs (leading axis on every leaf).
+
+    Unlike ``jax.vmap(closed_loop_tick)``, the QP solve goes through
+    :func:`solve_qp_batch`, so ``backend="pallas"`` routes the whole scaled
+    ADMM core (K build -> Cholesky -> inverse -> iterations) into ONE fused
+    VMEM kernel launch per block of envs — replacing the batched XLA
+    factorization that dominates the tick (docs/DESIGN_NOTES.md perf table).
+    The pallas backend runs the single-phase no-polish iteration (the bench
+    budget); accuracy at that budget is pinned by tests/test_qp_kernel.py.
+    """
+    sim = world.sim
+    contact = jax.vmap(lambda t: contact_sequence(t, mpc, gait))(sim.t)
+    qp = jax.vmap(
+        lambda x, t, f, b, c: build_mpc_qp(x, t, f, mpc, b, c, gait)
+    )(sim.x_fb, sim.t, sim.foot, biped, contact)
+    sol = solve_qp_batch(
+        qp, mpc, warm=world.ctrl.qp, backend=backend, block_envs=block_envs
     )
-    return World(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
+    sim_new = jax.vmap(lambda s, u, b: srb_step(s, u, mpc, gait, b))(
+        sim, sol.controls[:, 0], biped
+    )
+    return jax.vmap(lambda s, so, m: _finish_tick(s, so, m, mpc))(
+        sim_new, sol, world.metrics
+    )
 
 
 def rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
@@ -95,9 +135,36 @@ def rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
     return fn
 
 
-def batched_rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):
-    """vmap the fused rollout over a leading env axis of (world, biped)."""
-    return jax.vmap(rollout_fn(n_steps, mpc, gait))
+def batched_rollout_fn(
+    n_steps: int,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    backend: str = "xla",
+    block_envs: int = 8,
+):
+    """Batched fused rollout over a leading env axis of (world, biped).
+
+    backend="xla" (default): vmap of the single-env rollout.
+    backend="pallas": scan of :func:`batched_closed_loop_tick` with the
+    fused VMEM solver kernel (single-chip hot path; 1 CPU-mesh tests use
+    interpret mode via solve_qp_batch directly).
+    """
+    if backend == "xla":
+        return jax.vmap(rollout_fn(n_steps, mpc, gait))
+
+    def fn(worlds: World, bipeds: BipedParams) -> World:
+        def step(w, _):
+            return (
+                batched_closed_loop_tick(
+                    w, mpc, gait, bipeds, backend=backend,
+                    block_envs=block_envs,
+                ),
+                None,
+            )
+
+        return jax.lax.scan(step, worlds, None, length=n_steps)[0]
+
+    return fn
 
 
 def batched_cmd_rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):

@@ -93,7 +93,9 @@ def art_closed_loop_tick(
     x_fb = com_feedback_state(model, sim)
     pf_w = sole_positions(model, sim)
     contact = contact_sequence(sim.t, mpc, gait)
-    sol = solve_mpc(x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp)
+    sol = solve_mpc(
+        x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp, gait=gait
+    )
     u0 = sol.controls[0]
 
     ll_dt = mpc.dt / n_lowlevel
@@ -102,7 +104,7 @@ def art_closed_loop_tick(
         x = com_feedback_state(model, s)
         pf = sole_positions(model, s)
         tau = low_level_control(
-            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0
+            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait
         )
         return art_step(model, s, tau, ll_dt, n_substeps, terrain), None
 

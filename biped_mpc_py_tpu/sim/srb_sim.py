@@ -103,18 +103,15 @@ def _advance_feet(
     z, control/swing.py); on touch-down (contact flag flips to stance) it is
     dropped to the ground plane.
     """
-    from biped_mpc_py_tpu.control.swing import swing_target_xy
+    from biped_mpc_py_tpu.control.swing import swing_phase_z, swing_target_xy
 
     contact_now = contact_sequence(t_new, mpc, gait)[0]  # (2,)
-    t_phase = jnp.remainder(
-        jnp.asarray(t_new, x_new.dtype), mpc.dt * mpc.h / 2
-    )
-    fz = mpc.swing_height * jnp.sin(jnp.pi * t_phase / (mpc.dt * mpc.h / 2))
+    fz = swing_phase_z(t_new, mpc, gait, x_new.dtype)
 
     sides = jnp.array([1.0, -1.0], x_new.dtype)  # leg 0 (+y offset), leg 1
 
     def one_foot(foot3, c, side):
-        fx, fy = swing_target_xy(x_new, mpc, side)
+        fx, fy = swing_target_xy(x_new, mpc, side, gait)
         target = jnp.stack([fx, fy, fz])
         # swing: track target; stance: stay planted on the ground plane
         swing_pos = target

@@ -23,6 +23,14 @@ def _reference_iteration(P, A, q, l, u, rho, x, z, y, n_iters, sigma=1e-6,
         "bmi,bm,bmj->bij", A, rho, A
     )
     Kinv = jnp.linalg.inv(K)
+    # same two Newton-Schulz refinement steps as the kernel and the XLA core
+    # (see ops/qp.py): without them any two f32 inverses of this
+    # cond~1e5 K differ enough to decohere 30 ADMM iterations
+    eye = jnp.eye(P.shape[-1])[None]
+    for _ in range(2):
+        Kinv = jnp.einsum(
+            "bij,bjk->bik", Kinv, 2.0 * eye - jnp.einsum("bij,bjk->bik", K, Kinv)
+        )
     for _ in range(n_iters):
         w = rho * z - y
         rhs = sigma * x - q + jnp.einsum("bmi,bm->bi", A, w)

@@ -58,6 +58,71 @@ def test_velocity_command_walks_forward():
     assert float(w.sim.x_fb[3]) > 1.5  # >1.5 m in 10 s under 0.3 m/s command
 
 
+def test_walking_nondefault_cadence():
+    """Variable cadence (round-1 VERDICT missing #6): walking at a 3-step
+    (0.12 s) stance phase stays up and makes commanded progress — the swing
+    clock, foot-reference lookaheads and contact window all follow
+    ``steps_per_phase``."""
+    x_cmd = jnp.array([0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0.3, 0, 0], jnp.float32)
+    mpc = dataclasses.replace(MpcConfig(), x_cmd=x_cmd)
+    biped = BipedParams()
+    f = jax.jit(rollout_fn(250, mpc, GaitConfig(steps_per_phase=3)))
+    w = f(init_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    assert float(w.sim.x_fb[3]) > 1.5  # >1.5 m in 10 s under 0.3 m/s command
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.15
+
+
+def test_turning_body_frame():
+    """BASELINE config 3 (turning): body-frame command mode walks a circle —
+    0.2 m/s forward + 0.5 rad/s yaw for 8 s. Yaw tracks the integrated
+    command, speed along the heading tracks the command, zero falls.
+
+    Round-1 envelope was ~0.1 rad/s (docs/DESIGN_NOTES.md); the heading-frame
+    reference generation (config.cmd_body_frame) is the fix under test."""
+    x_cmd = jnp.array(
+        [0, 0, 0, 0, 0, 0.55, 0, 0, 0.5, 0.2, 0, 0], jnp.float32
+    )
+    mpc = dataclasses.replace(
+        MpcConfig(), x_cmd=x_cmd, cmd_body_frame=True,
+        raibert_capture_gain=1.0,
+    )
+    biped = BipedParams()
+    n = 200  # 8 s
+    f = jax.jit(rollout_fn(n, mpc, GaitConfig()))
+    w = f(init_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    yaw = float(w.sim.x_fb[2])
+    t_end = n * 0.04
+    assert abs(yaw - 0.5 * t_end) < 0.3, yaw  # 4 rad commanded
+    # velocity along the current heading ~ commanded forward speed
+    v_fwd = float(
+        jnp.cos(w.sim.x_fb[2]) * w.sim.x_fb[9]
+        + jnp.sin(w.sim.x_fb[2]) * w.sim.x_fb[10]
+    )
+    assert abs(v_fwd - 0.2) < 0.1, v_fwd
+    # it actually walked a circle of radius v/w = 0.4 m: stayed within a
+    # couple of radii of the start, but moved
+    assert float(jnp.linalg.norm(w.sim.x_fb[3:5])) < 1.5
+
+
+def test_turn_in_place_body_frame():
+    """Pure yaw-rate command (0.6 rad/s) while stepping in place."""
+    x_cmd = jnp.array(
+        [0, 0, 0, 0, 0, 0.55, 0, 0, 0.6, 0.0, 0, 0], jnp.float32
+    )
+    mpc = dataclasses.replace(
+        MpcConfig(), x_cmd=x_cmd, cmd_body_frame=True,
+        raibert_capture_gain=1.0,
+    )
+    biped = BipedParams()
+    n = 150  # 6 s
+    w = jax.jit(rollout_fn(n, mpc, GaitConfig()))(init_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    assert abs(float(w.sim.x_fb[2]) - 0.6 * n * 0.04) < 0.3
+    assert float(jnp.linalg.norm(w.sim.x_fb[3:5])) < 0.5  # stayed put
+
+
 def test_push_recovery():
     """BASELINE config 4: a 0.5 m/s lateral shove is absorbed by stepping
     (capture-point placement gain; the reference's own T/2 gain caps out
