@@ -41,8 +41,12 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "srb")
     mpc = dataclasses.replace(
         MpcConfig(),
-        n_admm_iters=int(os.environ.get("BENCH_ITERS", "30")),
-        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "1")),
+        # defaults = fast_mpc_config: the budget whose closed-loop accuracy
+        # is pinned by tests (test_bench_budget_accuracy). Lighter budgets
+        # are faster (30/1: 40.2k steps/s) but measurably degrade accuracy
+        # (see config.fast_mpc_config docstring) — not benched by default.
+        n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
+        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "3")),
         admm_polish=bool(int(os.environ.get("BENCH_POLISH", "1"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)

