@@ -71,6 +71,14 @@ class MpcConfig:
     kd_swing: float = 10.0
     # swing apex height [m]
     swing_height: float = 0.1
+    # lateral swing-target stance-width offset [m]. The reference hard-codes
+    # 0.04 (``bipedalLocomotionMPC.py:427``; replicated under
+    # compat_swing_yaw_bug); the corrected default 0.09 lands stepping feet
+    # at the nominal standing width. Measured (10 s in-place walk): attitude
+    # RMS 0.042 at 0.04 vs 0.005 at 0.09, and walk->stand transitions at an
+    # arbitrary stop phase tip over at 0.04 (the capture point leaves the
+    # narrow support polygon) but settle cleanly from 0.06 up.
+    swing_y_offset: float = 0.09
     # Raibert placement velocity coefficient. 0.0 (default) = the
     # reference's formula ``v * lookahead/2`` (``bipedalLocomotionMPC.py:
     # 73-89``), whose effective gain (~0.1 s) is well short of the

@@ -31,6 +31,28 @@ def phase_time(mpc: MpcConfig, gait: GaitConfig | None) -> float:
     return p * mpc.dt
 
 
+def gait_for_speed(speed: float, gait_mode: int = 1) -> GaitConfig:
+    """Cadence scaled to the commanded speed (static choice, made at config
+    time — cadence sets trace shapes via the contact window, so it is a
+    Python-level decision, not a traced one).
+
+    Measured on the articulated stack (250-tick closed loops, zero-fall
+    boundary): the reference cadence p=5 (0.2 s phases) is robust only to
+    ~0.1 m/s; p=4 covers 0.15 m/s; p=3 (0.12 s phases) walks 0.3 m/s with
+    attitude RMS 0.05. Faster cadence shortens the single-stance inverted-
+    pendulum divergence window — strictly better tracking at every tested
+    speed, at the cost of higher swing-leg accelerations.
+    """
+    speed = abs(float(speed))
+    if speed <= 0.1:
+        p = 5
+    elif speed <= 0.2:
+        p = 4
+    else:
+        p = 3
+    return GaitConfig(steps_per_phase=p, gait_mode=gait_mode)
+
+
 def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
     """Contact flags over the horizon -> (h, 2) in {0., 1.}.
 

@@ -36,8 +36,8 @@ def swing_target_xy(
         return fx, fy + Y_OFFSET * side
     yaw = x_fb[2] + mpc.x_cmd[8] * 0.5 * t_p  # heading at mid-touchdown
     return (
-        fx - jnp.sin(yaw) * Y_OFFSET * side,
-        fy + jnp.cos(yaw) * Y_OFFSET * side,
+        fx - jnp.sin(yaw) * mpc.swing_y_offset * side,
+        fy + jnp.cos(yaw) * mpc.swing_y_offset * side,
     )
 
 

@@ -176,8 +176,10 @@ def _qp_kernel(
             rd = mx(Px + q + Aty) / (
                 jnp.maximum(jnp.maximum(mx(Px), mx(Aty)), mx(q)) + eps
             )
+            # same [1e-2, 1e2] clip as ops/qp.py (cond(K) stays within
+            # the Newton-Schulz budget)
             rho_s = jnp.clip(
-                rho_s * jnp.sqrt(rp / (rd + eps)), 1e-4, 1e3
+                rho_s * jnp.sqrt(rp / (rd + eps)), 1e-2, 1e2
             )
 
     if polish:

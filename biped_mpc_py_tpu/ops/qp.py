@@ -383,7 +383,12 @@ def solve_qp(
                 )
                 + eps
             )
-            rho = jnp.clip(rho * jnp.sqrt(rp / (rd + eps)), 1e-4, 1e3)
+            # clip range [1e-2, 1e2]: the box rows are identity blocks, so
+            # rho >= 1e-2 keeps lambda_min(K) bounded away from P's
+            # small-eigenvalue directions — cond(K) stays within the
+            # Newton-Schulz budget (a 1e-4 floor let cond blow past
+            # what 14 NS steps resolve, diverging articulated solves)
+            rho = jnp.clip(rho * jnp.sqrt(rp / (rd + eps)), 1e-2, 1e2)
 
     if mpc.admm_polish:
         # OSQP-style polish: detect the active set from the converged

@@ -51,9 +51,15 @@ def art_mpc_config(**overrides) -> MpcConfig:
       placement (config.py); 1.0 (full capture gain) over-steps the real
       legs — 0.5 gives 0.2 m/s velocity walking AND 0.3 m/s push recovery
       with zero falls.
+    - ``swing_y_offset = 0.04`` (the reference value; the SRB default is
+      0.09): with real leg mass, wide lateral swings destabilize in-place
+      stepping (measured: falls at 0.06+ in place, while 0.3 m/s forward
+      walking prefers wider) — the narrow reference offset is the
+      all-command-robust articulated choice.
     """
     cfg = dataclasses.replace(
-        MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5
+        MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5,
+        swing_y_offset=0.04,
     )
     return dataclasses.replace(cfg, **overrides)
 
