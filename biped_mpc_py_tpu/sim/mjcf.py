@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from biped_mpc_py_tpu.sim.model import (
+    FOOT_BODIES,
     JOINT_AXES,
     LEFT,
     PARENT,
@@ -19,6 +20,8 @@ from biped_mpc_py_tpu.sim.model import (
     TORSO,
     ArticulatedModel,
 )
+
+CONTACT_SPHERE_R = 0.005  # [m] radius of the toe/heel contact spheres
 
 _BODY_NAMES = [
     "torso",
@@ -31,12 +34,47 @@ def _fmt(v) -> str:
     return " ".join(f"{float(x):.9g}" for x in np.asarray(v).reshape(-1))
 
 
-def to_mjcf(model: ArticulatedModel, timestep: float = 1e-4) -> str:
-    """MJCF XML string of the model (no collision geoms; flight dynamics)."""
+def penalty_matched_solref(model: ArticulatedModel, m_eff: float = 3.0) -> str:
+    """MuJoCo (timeconst, dampratio) solref equivalent of the framework's
+    explicit spring-damper point contact (sim/contact.py): for a contact
+    carrying effective mass ``m_eff`` (≈ one leg's share of the robot),
+    omega = sqrt(k/m_eff) gives timeconst = 1/omega and dampratio =
+    d / (2 sqrt(k m_eff)). With the default k=8000, d=150, m_eff=3 this is
+    ("0.0194 0.484"); closed-loop walking under the same controller then
+    produces per-foot stance forces matching the framework engine to a few
+    percent (tests/test_mj_contact.py)."""
+    k = float(model.contact_stiffness)
+    d = float(model.contact_damping)
+    omega = (k / m_eff) ** 0.5
+    return f"{1.0 / omega:.6g} {d / (2.0 * (k * m_eff) ** 0.5):.6g}"
+
+
+def to_mjcf(
+    model: ArticulatedModel,
+    timestep: float = 1e-4,
+    contact: bool = False,
+    solref: str = "",
+) -> str:
+    """MJCF XML string of the model.
+
+    contact=False: no collision geoms (flight-dynamics oracle).
+    contact=True: a ground plane + one sphere per toe/heel contact point
+    (the framework's 4-point line-foot contact geometry,
+    sim/model.py::contact_points), friction = model.contact_mu. The plane
+    sits at z = -CONTACT_SPHERE_R so a sphere CENTER crossing z=0 is first
+    touch — the same activation surface as the framework's point contacts.
+    MuJoCo's constraint-stabilized contact is a different law than the
+    framework's explicit spring-damper, so MuJoCo keeps its stock stiff
+    solver parameters and the fidelity comparison is behavioral (forces and
+    trajectories of the SAME controller closed-loop in both simulators,
+    tests/test_sim.py) rather than parameter-matched.
+    """
     mass = np.asarray(model.mass)
     com = np.asarray(model.com)
     inertia = np.asarray(model.inertia)
     offs = np.asarray(model.joint_offset)
+    cpts = np.asarray(model.contact_points)
+    mu = float(model.contact_mu)
 
     def body_xml(i: int, indent: str) -> str:
         name = _BODY_NAMES[i]
@@ -47,26 +85,48 @@ def to_mjcf(model: ArticulatedModel, timestep: float = 1e-4) -> str:
             lines.append(f'{indent}  <freejoint name="root"/>')
         else:
             axis = JOINT_AXES[i - 1]
+            # contact=True is the closed-loop oracle: include the engine's
+            # viscous joint damping; contact=False keeps damping=0 (the
+            # flight oracle strips it on the engine side too)
+            damping = float(model.joint_damping) if contact else 0.0
             lines.append(
                 f'{indent}  <joint name="j_{name}" type="hinge" '
-                f'axis="{_fmt(axis)}" damping="0" '
+                f'axis="{_fmt(axis)}" damping="{damping:.9g}" '
                 f'armature="{float(model.armature):.9g}"/>'
             )
         lines.append(
             f'{indent}  <inertial pos="{_fmt(com[i])}" mass="{mass[i]:.9g}" '
             f'diaginertia="{_fmt(diag)}"/>'
         )
+        if contact and i in FOOT_BODIES:
+            foot_idx = FOOT_BODIES.index(i)
+            sr = f' solref="{solref}"' if solref else ""
+            for k, label in enumerate(("toe", "heel")):
+                p = cpts[2 * foot_idx + k]
+                lines.append(
+                    f'{indent}  <geom name="{name}_{label}" type="sphere" '
+                    f'size="{CONTACT_SPHERE_R}" pos="{_fmt(p)}" '
+                    f'friction="{mu:.9g} 0.005 0.0001" '
+                    f'contype="1" conaffinity="1"{sr}/>'
+                )
         for child in range(len(PARENT)):
             if PARENT[child] == i:
                 lines.append(body_xml(child, indent + "  "))
         lines.append(f"{indent}</body>")
         return "\n".join(lines)
 
+    floor = (
+        f'    <geom name="floor" type="plane" size="20 20 0.1" '
+        f'pos="0 0 {-CONTACT_SPHERE_R}" friction="{mu:.9g} 0.005 0.0001" '
+        f'contype="1" conaffinity="1"/>\n'
+        if contact
+        else ""
+    )
     return f"""<mujoco model="hector_tpu">
   <option timestep="{timestep}" gravity="0 0 -9.81"/>
   <compiler inertiafromgeom="false"/>
   <worldbody>
-{body_xml(TORSO, "    ")}
+{floor}{body_xml(TORSO, "    ")}
   </worldbody>
 </mujoco>
 """

@@ -1,0 +1,250 @@
+"""Contact fidelity vs MuJoCo (north star: "contact forces match the MuJoCo
+reference within tolerance on logged walking trajectories").
+
+Method: the SAME controller (25 Hz MPC + 200 Hz low-level) runs closed-loop
+in BOTH simulators — the framework's articulated engine (compliant
+spring-damper point contact, sim/contact.py) and MuJoCo CPU on the exported
+MJCF with toe/heel contact spheres whose solref is the analytic equivalent
+of the penalty law (sim/mjcf.py::penalty_matched_solref). Per-foot normal
+contact forces, duty factors, load distribution, and torso height are then
+compared. Chaotic closed loops decohere pointwise over seconds, so the
+assertions are on force statistics, which is what "contact fidelity" means
+operationally (the reference has no simulator; MuJoCo is the strongest
+available oracle, SURVEY.md §7 stage 8).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig
+from biped_mpc_py_tpu.control.controller import ControllerState
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.lowlevel import low_level_control
+from biped_mpc_py_tpu.control.mpc import solve_mpc
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
+from biped_mpc_py_tpu.parallel.rollout_art import (
+    art_closed_loop_tick,
+    art_mpc_config,
+    init_art_world,
+)
+from biped_mpc_py_tpu.sim.contact import contact_force_world
+from biped_mpc_py_tpu.sim.engine import (
+    ArtState,
+    com_feedback_state,
+    contact_point_states,
+    sole_positions,
+)
+from biped_mpc_py_tpu.sim.mjcf import penalty_matched_solref, to_mjcf
+from biped_mpc_py_tpu.sim.model import hector_model
+
+try:
+    import mujoco
+
+    HAVE_MUJOCO = True
+except Exception:  # pragma: no cover
+    HAVE_MUJOCO = False
+
+pytestmark = pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco missing")
+
+MJ_DT = 5e-4
+N_LL = 8  # low-level updates per MPC tick (200 Hz)
+MJ_PER_LL = 10  # mujoco steps per low-level update (2 kHz)
+MG = 12.0 * 9.81
+
+MODEL = hector_model()
+BIPED = BipedParams()
+
+
+def _state_from_mj(d, t) -> ArtState:
+    """Inverse of TestMujocoOracle._sync_state: MuJoCo qpos/qvel (free-joint
+    linear velocity in world, angular in body) -> ArtState conventions."""
+    quat = jnp.asarray(d.qpos[3:7], jnp.float32)
+    R = quat_to_rotm(quat)
+    v_lin_body = R.T @ jnp.asarray(d.qvel[0:3], jnp.float32)
+    return ArtState(
+        pos=jnp.asarray(d.qpos[0:3], jnp.float32),
+        quat=quat,
+        v_base=jnp.concatenate(
+            [jnp.asarray(d.qvel[3:6], jnp.float32), v_lin_body]
+        ),
+        q=jnp.asarray(d.qpos[7:17], jnp.float32),
+        qd=jnp.asarray(d.qvel[6:16], jnp.float32),
+        t=jnp.asarray(t, jnp.float32),
+    )
+
+
+def _mj_foot_forces(m, d):
+    """Per-foot normal force (2,) summed over active contacts."""
+    f = np.zeros(2)
+    buf = np.zeros(6)
+    floor_id = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "floor")
+    for i in range(d.ncon):
+        con = d.contact[i]
+        mujoco.mj_contactForce(m, d, i, buf)  # buf[0] = normal force
+        g = con.geom2 if con.geom1 == floor_id else con.geom1
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+        if name and name.startswith("l_foot"):
+            f[0] += buf[0]
+        elif name and name.startswith("r_foot"):
+            f[1] += buf[0]
+    return f
+
+
+def _run_mujoco(mpc, gait, n_ticks):
+    """Closed loop in MuJoCo under the framework controller. Returns
+    (per-tick per-foot forces (n,2), per-tick feedback states (n,12),
+    fell)."""
+    m = mujoco.MjModel.from_xml_string(
+        to_mjcf(MODEL, MJ_DT, contact=True,
+                solref=penalty_matched_solref(MODEL))
+    )
+    d = mujoco.MjData(m)
+    s0 = ArtState.standing()
+    d.qpos[0:3] = np.array(s0.pos)
+    d.qpos[3:7] = np.array(s0.quat)
+    d.qpos[7:17] = np.array(s0.q)
+
+    fb = jax.jit(lambda s: (com_feedback_state(MODEL, s),
+                            sole_positions(MODEL, s)))
+    solve = jax.jit(
+        lambda x, t, pf, c, w: solve_mpc(
+            x, t, pf, mpc, BIPED, c, warm=w, gait=gait
+        )
+    )
+    lowlvl = jax.jit(
+        lambda x, t, pf, q, qd, c, u0: low_level_control(
+            x, t, pf, q, qd, mpc, BIPED, c, u0, gait=gait
+        )
+    )
+    ctrl = ControllerState.init(mpc)
+    forces, xs = [], []
+    t = 0.0
+    for _ in range(n_ticks):
+        s = _state_from_mj(d, t)
+        x_fb, pf_w = fb(s)
+        contact = contact_sequence(t, mpc, gait)
+        sol = solve(x_fb, t, pf_w, contact, ctrl.qp)
+        ctrl = ControllerState(qp=sol)
+        f_acc = np.zeros(2)
+        for _ in range(N_LL):
+            s = _state_from_mj(d, t)
+            x_j, pf_j = fb(s)
+            tau = lowlvl(x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0])
+            d.qfrc_applied[6:16] = np.array(tau)
+            for _ in range(MJ_PER_LL):
+                mujoco.mj_step(m, d)
+            f_acc += _mj_foot_forces(m, d)
+        forces.append(f_acc / N_LL)
+        xs.append(np.array(x_fb))
+        t += mpc.dt
+        if d.qpos[2] < 0.25:
+            return np.array(forces), np.array(xs), True
+    return np.array(forces), np.array(xs), False
+
+
+def _run_framework(mpc, gait, n_ticks):
+    tick = jax.jit(
+        lambda w: art_closed_loop_tick(w, mpc, gait, BIPED, MODEL)
+    )
+
+    @jax.jit
+    def foot_forces(s):
+        pts, vels, _, _ = contact_point_states(MODEL, s)
+        f = contact_force_world(MODEL, pts, vels)  # (4,3)
+        return jnp.stack([f[0, 2] + f[1, 2], f[2, 2] + f[3, 2]])
+
+    w = init_art_world(mpc)
+    forces, xs = [], []
+    for _ in range(n_ticks):
+        w = tick(w)
+        forces.append(np.array(foot_forces(w.sim)))
+        xs.append(np.array(com_feedback_state(MODEL, w.sim)))
+        if float(w.metrics.falls) > 0:
+            return np.array(forces), np.array(xs), True
+    return np.array(forces), np.array(xs), False
+
+
+@pytest.fixture(scope="module")
+def standing_runs():
+    mpc, gait = art_mpc_config(), GaitConfig(gait_mode=0)
+    return _run_mujoco(mpc, gait, 50), _run_framework(mpc, gait, 50)
+
+
+@pytest.fixture(scope="module")
+def walking_runs():
+    mpc, gait = art_mpc_config(), GaitConfig(gait_mode=1)
+    return _run_mujoco(mpc, gait, 100), _run_framework(mpc, gait, 100)
+
+
+class TestStandingContact:
+    def test_no_falls(self, standing_runs):
+        (_, _, fell_mj), (_, _, fell_fw) = standing_runs
+        assert not fell_mj and not fell_fw
+
+    def test_total_normal_force_is_weight_in_both(self, standing_runs):
+        (f_mj, _, _), (f_fw, _, _) = standing_runs
+        tot_mj = f_mj[25:].sum(axis=1).mean()
+        tot_fw = f_fw[25:].sum(axis=1).mean()
+        assert abs(tot_mj - MG) < 0.02 * MG, tot_mj
+        assert abs(tot_fw - MG) < 0.02 * MG, tot_fw
+
+    def test_load_split_matches(self, standing_runs):
+        (f_mj, _, _), (f_fw, _, _) = standing_runs
+        split_mj = f_mj[25:, 0].mean() / f_mj[25:].sum(axis=1).mean()
+        split_fw = f_fw[25:, 0].mean() / f_fw[25:].sum(axis=1).mean()
+        assert abs(split_mj - 0.5) < 0.02
+        assert abs(split_fw - 0.5) < 0.02
+
+    def test_height_matches(self, standing_runs):
+        (_, x_mj, _), (_, x_fw, _) = standing_runs
+        assert abs(x_mj[25:, 5].mean() - x_fw[25:, 5].mean()) < 0.01
+
+
+class TestWalkingContact:
+    """4 s of in-place walking under the same controller in both sims."""
+
+    def test_both_walk_without_falling(self, walking_runs):
+        (_, _, fell_mj), (_, _, fell_fw) = walking_runs
+        assert not fell_mj and not fell_fw
+
+    def test_total_stance_force_matches(self, walking_runs):
+        (f_mj, _, _), (f_fw, _, _) = walking_runs
+        tot_mj = f_mj[10:].sum(axis=1).mean()
+        tot_fw = f_fw[10:].sum(axis=1).mean()
+        # gait-average total normal force = weight in both (momentum
+        # balance) and the two sims agree
+        assert abs(tot_mj - MG) < 0.10 * MG, tot_mj
+        assert abs(tot_fw - MG) < 0.10 * MG, tot_fw
+        assert abs(tot_mj - tot_fw) < 0.10 * MG
+
+    def test_per_foot_stance_forces_match(self, walking_runs):
+        (f_mj, _, _), (f_fw, _, _) = walking_runs
+        for i in range(2):
+            st_mj = f_mj[f_mj[:, i] > 20, i].mean()
+            st_fw = f_fw[f_fw[:, i] > 20, i].mean()
+            assert abs(st_mj - st_fw) < 0.15 * max(st_mj, st_fw), (
+                i, st_mj, st_fw,
+            )
+
+    def test_duty_factors_match(self, walking_runs):
+        (f_mj, _, _), (f_fw, _, _) = walking_runs
+        for i in range(2):
+            duty_mj = (f_mj[:, i] > 20).mean()
+            duty_fw = (f_fw[:, i] > 20).mean()
+            assert abs(duty_mj - 0.5) < 0.1, duty_mj
+            assert abs(duty_fw - 0.5) < 0.1, duty_fw
+            assert abs(duty_mj - duty_fw) < 0.08
+
+    def test_walking_height_matches(self, walking_runs):
+        (_, x_mj, _), (_, x_fw, _) = walking_runs
+        assert abs(x_mj[10:, 5].mean() - x_fw[10:, 5].mean()) < 0.015
+
+    def test_early_window_force_tracking(self, walking_runs):
+        """Before chaotic decoherence (~first second) the per-foot force
+        TRAJECTORIES track each other, not just their statistics."""
+        (f_mj, _, _), (f_fw, _, _) = walking_runs
+        dev = np.abs(f_mj[:25] - f_fw[:25]).mean()
+        assert dev < 0.25 * MG, dev
