@@ -112,7 +112,12 @@ def art_closed_loop_tick(
         tau = low_level_control(
             x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait
         )
-        return art_step(model, s, tau, ll_dt, n_substeps, terrain), None
+        # one mass-matrix inverse per 5 ms low-level period (q moves ~1%);
+        # the MuJoCo closed-loop force oracle bounds the fidelity cost
+        return art_step(
+            model, s, tau, ll_dt, n_substeps, terrain,
+            m_refresh=n_substeps,
+        ), None
 
     sim_new, _ = jax.lax.scan(ll_step, sim, None, length=n_lowlevel)
 

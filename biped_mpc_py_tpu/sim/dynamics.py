@@ -386,14 +386,23 @@ def forward_dynamics_lv(
     f_ext_legs: jnp.ndarray,
     f_ext_base: jnp.ndarray,
     g: float = 9.81,
+    Minv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Leg-vectorized forward dynamics (same semantics as
-    :func:`forward_dynamics`; external forces as (2,5,6)+(6,))."""
+    :func:`forward_dynamics`; external forces as (2,5,6)+(6,)).
+
+    ``Minv``: optionally pass a precomputed inverse mass matrix (16,16) —
+    M depends only on q, which moves ~1% over a 5 ms low-level period, so
+    the integrator refreshes it every few substeps instead of factorizing
+    per substep (see engine.art_step).
+    """
     R_base = quat_to_rotm(quat)
     bias = rnea_bias_lv(
         model, q, qd, v_base, R_base, f_ext_legs, f_ext_base, g
     )
-    M = crba_mass_matrix_lv(model, q)
     tau_gen = jnp.concatenate([jnp.zeros(6, q.dtype), tau])
+    if Minv is not None:
+        return Minv @ (tau_gen - bias)
+    M = crba_mass_matrix_lv(model, q)
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), tau_gen - bias)

@@ -162,13 +162,14 @@ def contact_point_states(model: ArticulatedModel, state: ArtState):
 
 def art_substep(
     model: ArticulatedModel, state: ArtState, tau: jnp.ndarray, dt: float,
-    terrain=None,
+    terrain=None, Minv=None,
 ) -> ArtState:
     """One semi-implicit Euler substep under joint torques tau (10,).
 
     Uses the leg-vectorized dynamics fast path (sim/dynamics.py): both legs'
     kinematics/contact/forces carry a (2,) leg axis, halving the op count of
-    the generic tree walk.
+    the generic tree walk. ``Minv`` optionally supplies a precomputed mass
+    matrix inverse (see :func:`art_step`).
     """
     from biped_mpc_py_tpu.sim.dynamics import (
         forward_dynamics_lv,
@@ -208,7 +209,7 @@ def art_substep(
     tau_eff = tau + tau_lim - model.joint_damping * state.qd
     qdd = forward_dynamics_lv(
         model, state.pos, state.quat, state.q, state.v_base, state.qd,
-        tau_eff, f_ext_legs, jnp.zeros(6, dtype),
+        tau_eff, f_ext_legs, jnp.zeros(6, dtype), Minv=Minv,
     )
 
     # semi-implicit: update velocities first, then positions
@@ -231,12 +232,40 @@ def art_step(
     dt: float,
     n_substeps: int = 80,
     terrain=None,
+    m_refresh: int = 1,
 ) -> ArtState:
-    """Advance one control period (tau held zero-order) with a substep scan."""
+    """Advance one control period (tau held zero-order) with a substep scan.
+
+    ``m_refresh`` > 1 recomputes the (q-only) mass-matrix inverse every
+    m_refresh substeps instead of factorizing per substep — M moves ~1%
+    over a 5 ms low-level period, and the MuJoCo closed-loop force oracle
+    (tests/test_mj_contact.py) bounds the fidelity cost. The inverse uses
+    ops/qp.py::ns_inverse (MXU-batched Newton-Schulz) rather than XLA's
+    loop-lowered Cholesky. m_refresh=1 keeps the exact per-substep
+    factorization (the oracle tests' setting).
+    """
     sub_dt = dt / n_substeps
 
-    def body(s, _):
-        return art_substep(model, s, tau, sub_dt, terrain), None
+    if m_refresh <= 1:
+        def body(s, _):
+            return art_substep(model, s, tau, sub_dt, terrain), None
 
-    state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+        state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+        return state
+
+    from biped_mpc_py_tpu.ops.qp import ns_inverse
+    from biped_mpc_py_tpu.sim.dynamics import crba_mass_matrix_lv
+
+    assert n_substeps % m_refresh == 0, (n_substeps, m_refresh)
+
+    def outer(s, _):
+        Minv = ns_inverse(crba_mass_matrix_lv(model, s.q), n_iters=12)
+
+        def inner(s2, _):
+            return art_substep(model, s2, tau, sub_dt, terrain, Minv), None
+
+        s, _ = jax.lax.scan(inner, s, None, length=m_refresh)
+        return s, None
+
+    state, _ = jax.lax.scan(outer, state, None, length=n_substeps // m_refresh)
     return state
