@@ -30,6 +30,7 @@ from biped_mpc_py_tpu.config import (
     GaitConfig,
     MpcConfig,
     default_mpc_config,
+    fast_mpc_config,
     reference_compat_config,
 )
 from biped_mpc_py_tpu.models.biped import (
@@ -54,6 +55,12 @@ def __getattr__(name):
         "art_mpc_config": (
             "biped_mpc_py_tpu.parallel.rollout_art", "art_mpc_config",
         ),
+        "gait_for_speed": ("biped_mpc_py_tpu.control.gait", "gait_for_speed"),
+        "batched_rollout_fn": (
+            "biped_mpc_py_tpu.parallel.rollout", "batched_rollout_fn",
+        ),
+        "solve_qp_batch": ("biped_mpc_py_tpu.ops.qp", "solve_qp_batch"),
+        "ns_inverse": ("biped_mpc_py_tpu.ops.qp", "ns_inverse"),
     }
     if name in lazy:
         import importlib
@@ -71,7 +78,12 @@ __all__ = [
     "HECTOR_LEG_FK",
     "HECTOR_LEG_JAC",
     "default_mpc_config",
+    "fast_mpc_config",
     "reference_compat_config",
+    "gait_for_speed",
+    "batched_rollout_fn",
+    "solve_qp_batch",
+    "ns_inverse",
     "solve_mpc",
     "control_tick",
     "rollout_fn",
