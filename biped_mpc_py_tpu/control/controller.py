@@ -27,9 +27,13 @@ from biped_mpc_py_tpu.ops.qp import QpSolution
 
 @struct.dataclass
 class ControllerState:
-    """Carried across ticks: the previous QP solution (ADMM warm start)."""
+    """Carried across ticks: the previous QP solution (ADMM warm start) and
+    the body-frame command-reference anchor (see :func:`advance_cmd_ref`)."""
 
     qp: QpSolution
+    # [x, y, yaw] world anchor the body-frame velocity command integrates
+    # from (unused in world-frame command mode)
+    cmd_ref: jnp.ndarray
 
     @classmethod
     def init(cls, mpc: MpcConfig, dtype=jnp.float32) -> "ControllerState":
@@ -43,8 +47,41 @@ class ControllerState:
                 y=zero((h, 24), dtype),
                 res_prim=jnp.asarray(0.0, dtype),
                 res_dual=jnp.asarray(0.0, dtype),
-            )
+            ),
+            cmd_ref=zero((3,), dtype),
         )
+
+
+# Leak rate of the command anchor toward the measured pose, per 25 Hz tick
+# (time constant ~0.8 s): slow enough to filter the CoM's step-frequency
+# swing (raw-feedback anchoring feeds that oscillation back into a fall —
+# measured attitude RMS 0.028 -> 0.425 on the articulated in-place walk),
+# fast enough to bound reference windup when the robot is blocked/shoved.
+# A deadzone + fast-leak variant was measured WORSE (dragging a persistent
+# 0.1 rad yaw error destabilizes the gait: rate 0.036 vs 0.071 rad/s, att
+# RMS 2x) — the proportional leak trades a bounded steady-state rate
+# deficit (~30% on yaw at the articulated stack's authority limit) for
+# gait stability.
+CMD_REF_LEAK = 0.05
+
+
+def advance_cmd_ref(
+    cmd_ref: jnp.ndarray, x_fb: jnp.ndarray, mpc: MpcConfig
+) -> jnp.ndarray:
+    """One-tick update of the body-frame command anchor: integrate the
+    commanded arc, then leak toward the measured pose."""
+    yaw = cmd_ref[2]
+    vbx, vby = mpc.x_cmd[9], mpc.x_cmd[10]
+    step = jnp.stack(
+        [
+            (jnp.cos(yaw) * vbx - jnp.sin(yaw) * vby) * mpc.dt,
+            (jnp.sin(yaw) * vbx + jnp.cos(yaw) * vby) * mpc.dt,
+            mpc.x_cmd[8] * mpc.dt,
+        ]
+    )
+    ref = cmd_ref + step
+    actual = jnp.stack([x_fb[3], x_fb[4], x_fb[2]])
+    return ref + CMD_REF_LEAK * (actual - ref)
 
 
 def control_tick(
@@ -73,8 +110,16 @@ def control_tick(
     pf_w = foot_positions_world(x_fb, q, biped)
     contact = contact_sequence(t, mpc, gait)
     warm = None if ctrl_state is None else ctrl_state.qp
-    sol = solve_mpc(x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait)
+    cmd_ref = None if ctrl_state is None else ctrl_state.cmd_ref
+    sol = solve_mpc(
+        x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait,
+        cmd_ref=cmd_ref,
+    )
     tau = low_level_control(
         x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0], gait=gait
     )
-    return tau, ControllerState(qp=sol), sol
+    ref_next = advance_cmd_ref(
+        cmd_ref if cmd_ref is not None else jnp.zeros(3, x_fb.dtype),
+        x_fb, mpc,
+    )
+    return tau, ControllerState(qp=sol, cmd_ref=ref_next), sol

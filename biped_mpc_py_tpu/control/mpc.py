@@ -30,13 +30,15 @@ def build_mpc_qp(
     biped: BipedParams,
     contact: jnp.ndarray,
     gait: GaitConfig | None = None,
+    cmd_ref: jnp.ndarray | None = None,
 ) -> CondensedQp:
     """Assemble the condensed MPC QP for one tick (no solve).
 
     ``gait`` sets the foot-reference Raibert lookaheads to the configured
-    cadence (None = the reference's hard-coded h/2 relation).
+    cadence (None = the reference's hard-coded h/2 relation); ``cmd_ref``
+    anchors the body-frame command arc (controller.advance_cmd_ref).
     """
-    x_ref = com_reference(x_fb, mpc)
+    x_ref = com_reference(x_fb, mpc, cmd_ref)
     foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait)
     A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
     return condense(mpc, biped, x_fb, x_ref, A, B, contact)
@@ -51,10 +53,11 @@ def solve_mpc(
     contact: jnp.ndarray,
     warm: QpSolution | None = None,
     gait: GaitConfig | None = None,
+    cmd_ref: jnp.ndarray | None = None,
 ) -> QpSolution:
     """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
     controls, ADMM iterates (reusable as next tick's warm start), and
     primal/dual residuals (the failure-detection signal the reference never
     checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
-    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact, gait)
+    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact, gait, cmd_ref)
     return solve_qp(qp, mpc, warm)

@@ -17,7 +17,9 @@ from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.gait import phase_index, phase_time  # noqa: F401
 
 
-def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
+def com_reference(
+    x_fb: jnp.ndarray, mpc: MpcConfig, cmd_ref: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """CoM/state reference over the horizon -> (13, h).
 
     Behavior of reference ``get_reference_trajectory``
@@ -38,10 +40,18 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     ``mpc.cmd_body_frame=True`` (framework extension, no reference analog):
     x_cmd[9:11] is the velocity in the HEADING frame and x_cmd[8] the turn
     rate. The xy reference integrates the commanded circular arc in closed
-    form from the current pose/heading, the yaw reference ramps at the turn
-    rate, and the velocity reference rotates with the predicted heading —
-    so walking turns have a consistent (position, velocity, yaw) target
-    instead of the world-frame crab the reference commands imply.
+    form, the yaw reference ramps at the turn rate, and the velocity
+    reference rotates with the predicted heading — so walking turns have a
+    consistent (position, velocity, yaw) target instead of the world-frame
+    crab the reference commands imply.
+
+    ``cmd_ref`` (3,) = [x, y, yaw] anchor for the body-frame arc. Pass the
+    ControllerState's leak-integrated command reference (see
+    controller.advance_cmd_ref): anchoring at raw feedback instead (the
+    ``None`` fallback) gives ZERO effective position/heading stiffness —
+    the target follows the measurement — which chases the articulated
+    robot's CoM swing oscillation into a fall (measured: attitude RMS
+    0.028 -> 0.425 on the articulated in-place walk).
     """
     h = mpc.h
     if mpc.compat_ref_col0_bug:
@@ -55,7 +65,10 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
     if mpc.cmd_body_frame:
         dtk = ks * mpc.dt  # (h,)
-        yaw0 = x_fb[2]
+        if cmd_ref is None:
+            x0a, y0a, yaw0 = x_fb[3], x_fb[4], x_fb[2]
+        else:
+            x0a, y0a, yaw0 = cmd_ref[0], cmd_ref[1], cmd_ref[2]
         wz = mpc.x_cmd[8]
         vbx, vby = mpc.x_cmd[9], mpc.x_cmd[10]
         yaw_k = yaw0 + wz * dtk  # (h,)
@@ -70,8 +83,8 @@ def com_reference(x_fb: jnp.ndarray, mpc: MpcConfig) -> jnp.ndarray:
         ay = jnp.where(
             small, dtk * jnp.sin(yaw0), (jnp.cos(yaw0) - jnp.cos(yaw_k)) / w_safe
         )
-        px = x_fb[3] + ax * vbx - ay * vby
-        py = x_fb[4] + ay * vbx + ax * vby
+        px = x0a + ax * vbx - ay * vby
+        py = y0a + ay * vbx + ax * vby
         vx = jnp.cos(yaw_k) * vbx - jnp.sin(yaw_k) * vby
         vy = jnp.sin(yaw_k) * vbx + jnp.cos(yaw_k) * vby
         pose = pose.at[2].set(yaw0 + wz * dtk).at[3].set(px).at[4].set(py)

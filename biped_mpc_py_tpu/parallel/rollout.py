@@ -51,7 +51,7 @@ def init_world(mpc: MpcConfig, z0: float = 0.53) -> World:
     )
 
 
-def _finish_tick(sim_new, sol, metrics, mpc: MpcConfig) -> World:
+def _finish_tick(sim_new, sol, cmd_ref, metrics, mpc: MpcConfig) -> World:
     """Per-env fall detection + in-batch auto reset + metrics update
     (shared by the single-env tick and the batched-solver tick; vmap for
     batches)."""
@@ -64,7 +64,8 @@ def _finish_tick(sim_new, sol, metrics, mpc: MpcConfig) -> World:
     )
     ctrl_reset = ControllerState.init(mpc, dtype=sim_new.x_fb.dtype)
     ctrl_next = jax.tree.map(
-        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset,
+        ControllerState(qp=sol, cmd_ref=cmd_ref),
     )
     metrics = metrics.update(
         sim_new.x_fb, mpc.x_cmd, sol.controls[0], sol.res_prim,
@@ -77,14 +78,17 @@ def closed_loop_tick(
     world: World, mpc: MpcConfig, gait: GaitConfig, biped: BipedParams
 ) -> World:
     """One fused sim+MPC tick on the SRB abstraction."""
+    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+
     sim = world.sim
     contact = contact_sequence(sim.t, mpc, gait)
     sol = solve_mpc(
         sim.x_fb, sim.t, sim.foot, mpc, biped, contact, warm=world.ctrl.qp,
-        gait=gait,
+        gait=gait, cmd_ref=world.ctrl.cmd_ref,
     )
     sim_new = srb_step(sim, sol.controls[0], mpc, gait, biped)
-    return _finish_tick(sim_new, sol, world.metrics, mpc)
+    ref_next = advance_cmd_ref(world.ctrl.cmd_ref, sim.x_fb, mpc)
+    return _finish_tick(sim_new, sol, ref_next, world.metrics, mpc)
 
 
 def batched_closed_loop_tick(
@@ -102,22 +106,26 @@ def batched_closed_loop_tick(
     ADMM core (K build -> Cholesky -> inverse -> iterations) into ONE fused
     VMEM kernel launch per block of envs — replacing the batched XLA
     factorization that dominates the tick (docs/DESIGN_NOTES.md perf table).
-    The pallas backend runs the single-phase no-polish iteration (the bench
-    budget); accuracy at that budget is pinned by tests/test_qp_kernel.py.
+    Backend agreement is pinned by tests/test_qp_kernel.py.
     """
+    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+
     sim = world.sim
     contact = jax.vmap(lambda t: contact_sequence(t, mpc, gait))(sim.t)
     qp = jax.vmap(
-        lambda x, t, f, b, c: build_mpc_qp(x, t, f, mpc, b, c, gait)
-    )(sim.x_fb, sim.t, sim.foot, biped, contact)
+        lambda x, t, f, b, c, r: build_mpc_qp(x, t, f, mpc, b, c, gait, r)
+    )(sim.x_fb, sim.t, sim.foot, biped, contact, world.ctrl.cmd_ref)
     sol = solve_qp_batch(
         qp, mpc, warm=world.ctrl.qp, backend=backend, block_envs=block_envs
     )
     sim_new = jax.vmap(lambda s, u, b: srb_step(s, u, mpc, gait, b))(
         sim, sol.controls[:, 0], biped
     )
-    return jax.vmap(lambda s, so, m: _finish_tick(s, so, m, mpc))(
-        sim_new, sol, world.metrics
+    ref_next = jax.vmap(lambda r, x: advance_cmd_ref(r, x, mpc))(
+        world.ctrl.cmd_ref, sim.x_fb
+    )
+    return jax.vmap(lambda s, so, r, m: _finish_tick(s, so, r, m, mpc))(
+        sim_new, sol, ref_next, world.metrics
     )
 
 

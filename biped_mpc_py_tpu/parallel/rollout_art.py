@@ -100,7 +100,8 @@ def art_closed_loop_tick(
     pf_w = sole_positions(model, sim)
     contact = contact_sequence(sim.t, mpc, gait)
     sol = solve_mpc(
-        x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp, gait=gait
+        x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
+        gait=gait, cmd_ref=world.ctrl.cmd_ref,
     )
     u0 = sol.controls[0]
 
@@ -126,9 +127,13 @@ def art_closed_loop_tick(
     reset = ArtState.standing(dtype=sim.q.dtype)
     reset = dataclasses.replace(reset, t=sim_new.t)
     sim_next = jax.tree.map(lambda r, s: jnp.where(fell, r, s), reset, sim_new)
+    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+
+    ref_next = advance_cmd_ref(world.ctrl.cmd_ref, x_fb, mpc)
     ctrl_reset = ControllerState.init(mpc, dtype=sim.q.dtype)
     ctrl_next = jax.tree.map(
-        lambda r, s: jnp.where(fell, r, s), ctrl_reset, ControllerState(qp=sol)
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset,
+        ControllerState(qp=sol, cmd_ref=ref_next),
     )
     metrics = world.metrics.update(
         sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)

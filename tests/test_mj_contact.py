@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from biped_mpc_py_tpu.config import GaitConfig
-from biped_mpc_py_tpu.control.controller import ControllerState
+from biped_mpc_py_tpu.control.controller import ControllerState, advance_cmd_ref
 from biped_mpc_py_tpu.control.gait import contact_sequence
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
@@ -110,8 +110,8 @@ def _run_mujoco(mpc, gait, n_ticks):
     fb = jax.jit(lambda s: (com_feedback_state(MODEL, s),
                             sole_positions(MODEL, s)))
     solve = jax.jit(
-        lambda x, t, pf, c, w: solve_mpc(
-            x, t, pf, mpc, BIPED, c, warm=w, gait=gait
+        lambda x, t, pf, c, w, r: solve_mpc(
+            x, t, pf, mpc, BIPED, c, warm=w, gait=gait, cmd_ref=r
         )
     )
     lowlvl = jax.jit(
@@ -126,8 +126,10 @@ def _run_mujoco(mpc, gait, n_ticks):
         s = _state_from_mj(d, t)
         x_fb, pf_w = fb(s)
         contact = contact_sequence(t, mpc, gait)
-        sol = solve(x_fb, t, pf_w, contact, ctrl.qp)
-        ctrl = ControllerState(qp=sol)
+        sol = solve(x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref)
+        ctrl = ControllerState(
+            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc)
+        )
         f_acc = np.zeros(2)
         for _ in range(N_LL):
             s = _state_from_mj(d, t)
