@@ -2,8 +2,10 @@
 
 The entire world state (sim state, controller warm start, RNG keys, metrics)
 is one pytree and every step is pure, so checkpointing is flattening to a
-dict of arrays and resume is bit-exact. npz keeps the dependency surface
-zero; orbax can be slotted in for async multi-host checkpointing later.
+dict of arrays and resume is bit-exact. The default backend is npz (zero
+dependency surface); :func:`save_pytree_orbax` / :func:`load_pytree_orbax`
+use orbax-checkpoint for async-capable, sharding-aware multi-host
+checkpoints (the production path once rollouts span hosts).
 """
 
 from __future__ import annotations
@@ -55,3 +57,24 @@ def load_pytree(path: str, like):
             )
         restored.append(jnp.asarray(arr, dtype=want.dtype))
     return jax.tree.unflatten(treedef, restored)
+
+
+def save_pytree_orbax(path: str, tree) -> None:
+    """Save a pytree with orbax-checkpoint (async-capable, sharding-aware:
+    on a multi-host mesh each host writes only its addressable shards).
+
+    ``path`` must be an absolute directory path (orbax requirement).
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def load_pytree_orbax(path: str, like):
+    """Restore a pytree saved by :func:`save_pytree_orbax`; ``like``
+    provides structure/shape/dtype (mismatches raise inside orbax)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)

@@ -268,6 +268,28 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     )
 
 
+def test_checkpoint_resume_orbax(tmp_path):
+    """Same bit-exact resume through the orbax backend (the async-capable,
+    sharding-aware production path, SURVEY.md §5)."""
+    pytest.importorskip("orbax.checkpoint")
+    from biped_mpc_py_tpu.utils.checkpoint import (
+        load_pytree_orbax,
+        save_pytree_orbax,
+    )
+
+    mpc, biped = MpcConfig(), BipedParams()
+    f20 = jax.jit(rollout_fn(20, mpc, GaitConfig()))
+    f10 = jax.jit(rollout_fn(10, mpc, GaitConfig()))
+    w_mid = f20(init_world(mpc), biped)
+    path = str(tmp_path / "orbax_ckpt")
+    save_pytree_orbax(path, w_mid)
+    w_loaded = load_pytree_orbax(path, jax.tree.map(jnp.zeros_like, w_mid))
+    np.testing.assert_array_equal(
+        np.array(f10(w_loaded, biped).sim.x_fb),
+        np.array(f10(w_mid, biped).sim.x_fb),
+    )
+
+
 def test_checkpoint_rejects_mismatched_structure(tmp_path):
     """Loading into a wrong structure/shape must raise, not silently
     produce garbage (round-1 VERDICT weak #6)."""
