@@ -47,7 +47,7 @@ def main() -> None:
         # (see config.fast_mpc_config docstring) — not benched by default.
         n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
         admm_rho_phases=int(os.environ.get("BENCH_PHASES", "3")),
-        admm_polish=bool(int(os.environ.get("BENCH_POLISH", "1"))),
+        admm_polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()

@@ -170,18 +170,21 @@ def default_mpc_config(**overrides) -> MpcConfig:
 
 
 def fast_mpc_config(**overrides) -> MpcConfig:
-    """The benched solver budget: 40 ADMM iterations / 3 rho phases / polish.
+    """The benched solver budget: 40 ADMM iterations / 3 rho phases,
+    NO polish.
 
-    Chosen from a measured budget sweep at a 0.3 m/s walk (attitude RMS vs
-    the default 60/3 budget's 0.0826): 30/1 falls; 30/2 walks but at RMS
-    0.141 (1.7x); 40/3 is accuracy-equivalent at RMS 0.0888 (1.07x) for
-    ~60% of the default budget's cost. Closed-loop equivalence is pinned by
+    Chosen from measured budget sweeps at a 0.3 m/s walk: 30/1 falls; 30/2
+    walks with degraded attitude; 40/3 matches the default 60/3 budget's
+    closed-loop statistics, and dropping polish costs nothing warm-started
+    (attitude RMS 0.0113 vs 0.0122 WITH polish; polish earns its cost only
+    on cold starts, which closed loops hit once). Equivalence is pinned by
     tests/test_rollout.py::test_bench_budget_accuracy; cold-start
-    golden-tick parity tests use the default budget. Measured (v5e, one
-    chip): 24.0k env-steps/s/chip at 1024 envs (xla backend).
+    golden-tick parity tests use the default (polished) budget. Measured
+    (v5e, one chip): 29.5k env-steps/s/chip at 1024 envs (xla backend).
     """
     return dataclasses.replace(
-        MpcConfig(), n_admm_iters=40, admm_rho_phases=3, **overrides
+        MpcConfig(), n_admm_iters=40, admm_rho_phases=3, admm_polish=False,
+        **overrides
     )
 
 
