@@ -42,11 +42,10 @@ def main() -> None:
     mpc = dataclasses.replace(
         MpcConfig(),
         # defaults = fast_mpc_config: the budget whose closed-loop accuracy
-        # is pinned by tests (test_bench_budget_accuracy). Lighter budgets
-        # are faster (30/1: 40.2k steps/s) but measurably degrade accuracy
-        # (see config.fast_mpc_config docstring) — not benched by default.
+        # is pinned by tests (test_bench_budget_accuracy); see the
+        # fast_mpc_config docstring for the measured budget sweep.
         n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
-        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "3")),
+        admm_rho_phases=int(os.environ.get("BENCH_PHASES", "1")),
         admm_polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)

@@ -170,20 +170,23 @@ def default_mpc_config(**overrides) -> MpcConfig:
 
 
 def fast_mpc_config(**overrides) -> MpcConfig:
-    """The benched solver budget: 40 ADMM iterations / 3 rho phases,
+    """The benched solver budget: 40 ADMM iterations / 1 rho phase,
     NO polish.
 
-    Chosen from measured budget sweeps at a 0.3 m/s walk: 30/1 falls; 30/2
-    walks with degraded attitude; 40/3 matches the default 60/3 budget's
-    closed-loop statistics, and dropping polish costs nothing warm-started
-    (attitude RMS 0.0113 vs 0.0122 WITH polish; polish earns its cost only
-    on cold starts, which closed loops hit once). Equivalence is pinned by
+    Re-derived after the stance-width correction (swing_y_offset 0.09):
+    the budget fragility that originally demanded 2-3 rho phases was the
+    narrow reference stance, not the solver — at the corrected stance even
+    40/1 matches the default 60/3/polish budget's closed-loop statistics
+    (attitude RMS 0.0122 vs 0.0114 at a 0.3 m/s walk) and passes the full
+    robustness battery (0.5 rad/s circles, 3-step cadence at 0.3 m/s,
+    0.5 m/s push recovery, walk<->stand transitions). One rho phase = ONE
+    Newton-Schulz KKT inversion per tick — the dominant tick cost
+    (stage timings in docs/DESIGN_NOTES.md). Equivalence is pinned by
     tests/test_rollout.py::test_bench_budget_accuracy; cold-start
-    golden-tick parity tests use the default (polished) budget. Measured
-    (v5e, one chip): 29.5k env-steps/s/chip at 1024 envs (xla backend).
+    golden-tick parity tests use the default (polished) budget.
     """
     return dataclasses.replace(
-        MpcConfig(), n_admm_iters=40, admm_rho_phases=3, admm_polish=False,
+        MpcConfig(), n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
         **overrides
     )
 
