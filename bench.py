@@ -47,6 +47,7 @@ def main() -> None:
         n_admm_iters=int(os.environ.get("BENCH_ITERS", "40")),
         admm_rho_phases=int(os.environ.get("BENCH_PHASES", "1")),
         admm_polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
+        kinv_ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()

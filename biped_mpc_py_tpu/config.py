@@ -180,14 +180,16 @@ def fast_mpc_config(**overrides) -> MpcConfig:
     (attitude RMS 0.0122 vs 0.0114 at a 0.3 m/s walk) and passes the full
     robustness battery (0.5 rad/s circles, 3-step cadence at 0.3 m/s,
     0.5 m/s push recovery, walk<->stand transitions). One rho phase = ONE
-    Newton-Schulz KKT inversion per tick — the dominant tick cost
-    (stage timings in docs/DESIGN_NOTES.md). Equivalence is pinned by
+    Newton-Schulz KKT inversion per tick — the dominant tick cost (stage
+    timings in docs/DESIGN_NOTES.md) — at 10 NS steps (residual ~1.6e-4:
+    behaviorally identical to the 2e-6 floor in closed loop; 8 steps is
+    where degradation starts). Equivalence is pinned by
     tests/test_rollout.py::test_bench_budget_accuracy; cold-start
     golden-tick parity tests use the default (polished) budget.
     """
     return dataclasses.replace(
         MpcConfig(), n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
-        **overrides
+        kinv_ns_iters=10, **overrides
     )
 
 
