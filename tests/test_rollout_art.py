@@ -120,6 +120,28 @@ def test_articulated_turning(setup):
     assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.06
 
 
+def test_articulated_bench_budget_accuracy(setup):
+    """The benched fast solver budget (fast_mpc_config's 40/1/no-polish/
+    NS(10)) keeps the articulated 0.3 m/s walk as clean as the default
+    60/3/polish budget (the SRB analog is
+    test_rollout.py::test_bench_budget_accuracy)."""
+    from biped_mpc_py_tpu.control.gait import gait_for_speed
+
+    biped, model = setup
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(0.3)
+    mpc = art_mpc_config(
+        x_cmd=x_cmd, n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
+        kinv_ns_iters=10,
+    )
+    w = jax.jit(art_rollout_fn(250, mpc, gait_for_speed(0.3), model=model))(
+        init_art_world(mpc), biped
+    )
+    assert float(w.metrics.falls) == 0
+    assert float(w.sim.pos[0]) > 1.5
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.08
+    assert float(w.metrics.res_prim_max) < 1.0
+
+
 def test_articulated_push_recovery(setup):
     biped, model = setup
     mpc = art_mpc_config()
