@@ -48,6 +48,8 @@ def main() -> None:
         admm_rho_phases=int(os.environ.get("BENCH_PHASES", "1")),
         admm_polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
         kinv_ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")),
+        kinv_bf16_iters=int(os.environ.get("BENCH_NS_BF16", "8")),
+        admm_bf16_matvec=bool(int(os.environ.get("BENCH_BF16_MATVEC", "1"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()
@@ -61,6 +63,9 @@ def main() -> None:
             n_admm_iters=mpc.n_admm_iters,
             admm_rho_phases=mpc.admm_rho_phases,
             admm_polish=mpc.admm_polish,
+            kinv_ns_iters=mpc.kinv_ns_iters,
+            kinv_bf16_iters=mpc.kinv_bf16_iters,
+            admm_bf16_matvec=mpc.admm_bf16_matvec,
         )
         worlds = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)),

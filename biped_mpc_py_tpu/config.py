@@ -71,6 +71,33 @@ class MpcConfig:
     kd_swing: float = 10.0
     # swing apex height [m]
     swing_height: float = 0.1
+    # Swing foot-heading PD gains (control/lowlevel.py: world-z moment
+    # wrench on the swing foot through the angular Jacobian). The 3-dof
+    # Cartesian swing task leaves foot yaw uncontrolled; without this it
+    # drifts to the articulated robot's hip-yaw joint limit within ~0.5 s
+    # of walking and every touchdown fights the limit penalty. 0 (default)
+    # = the reference's exact torque map (C13 parity); art_mpc_config
+    # enables it.
+    kp_hipyaw: float = 0.0
+    kd_hipyaw: float = 0.0
+    # Per-foot YAW moment bound override [N m] (None = biped.tau_max[2],
+    # the reference's 33.5, ``bipedalLocomotionMPC.py:48``). The reference
+    # bound is physically untransmissible: a ~14 cm line foot at mu=0.5
+    # under ~60 N supports a friction COUPLE of only a few N m, so a QP
+    # allowed 33.5 plans yaw moments the ground cannot react. The
+    # compliant engine leaks the excess through yaw micro-slip (masking
+    # the defect); MuJoCo's stick friction transmits it and the measured
+    # closed loop spins and falls within 2.5 s. art_mpc_config sets 4.0
+    # (= mu * mg * half-foot-length, rounded); SRB/parity paths keep the
+    # reference bound. Future refinement: a load-dependent torsional cone
+    # row |m_z| <= mu_z * f_z like the friction pyramid.
+    tau_z_max: float | None = struct.field(pytree_node=False, default=None)
+    # Yaw-axis leak rate of the body-frame command anchor
+    # (controller.advance_cmd_ref); x/y keep CMD_REF_LEAK. A slower yaw
+    # leak holds heading error longer (more integral authority against the
+    # articulated stack's noisy yaw transmission) at the cost of windup
+    # when yaw authority saturates.
+    cmd_leak_yaw: float = 0.05
     # lateral swing-target stance-width offset [m]. The reference hard-codes
     # 0.04 (``bipedalLocomotionMPC.py:427``; replicated under
     # compat_swing_yaw_bug); the corrected default 0.09 lands stepping feet
@@ -113,6 +140,26 @@ class MpcConfig:
     # unrolled). 14 reaches the f32 floor on the MPC KKT (ops/qp.py
     # ns_inverse); the MXU-batched NS replaces XLA's slow batched Cholesky.
     kinv_ns_iters: int = struct.field(pytree_node=False, default=14)
+    # Of those, run the FIRST kinv_bf16_iters Newton-Schulz steps with
+    # bfloat16 operands (f32 accumulation): the climb phase of NS is
+    # self-correcting, so bf16 rounding there is free while each bf16
+    # matmul costs 1 MXU pass instead of the 6 that full-f32 ("highest")
+    # costs (ops/qp.py::ns_inverse). 0 = all-f32 (default; parity/golden
+    # tests). The remaining kinv_ns_iters - kinv_bf16_iters steps run in
+    # f32 and restore the floor.
+    kinv_bf16_iters: int = struct.field(pytree_node=False, default=0)
+    # Apply the precomputed KKT inverse with bfloat16 operands inside the
+    # ADMM iteration scan (f32 accumulation). The loop is HBM-bound on
+    # re-reading Kinv each iteration; the bf16 copy halves that traffic.
+    # 4e-3 operand rounding is ~15x below the measured closed-loop
+    # degradation threshold (see ops/qp.py::solve_qp). Default off
+    # (parity/golden tests); on in fast_mpc_config.
+    admm_bf16_matvec: bool = struct.field(pytree_node=False, default=False)
+    # Ruiz equilibration iterations (static: fixed-count scan). Scalings
+    # steer ADMM convergence rate only — the fixed point is unscaled — so
+    # fewer iterations trade a slightly worse-equilibrated problem for less
+    # per-tick work. 10 = OSQP-like default.
+    ruiz_iters: int = struct.field(pytree_node=False, default=10)
     # --- compat flags (documented deviations from the reference) ---
     # reference ``:87`` computes foot_des_y_2 from x_fb[10] where the pattern
     # implies x_fb[4] (SURVEY.md C5). False = corrected behavior (default);
@@ -181,15 +228,18 @@ def fast_mpc_config(**overrides) -> MpcConfig:
     robustness battery (0.5 rad/s circles, 3-step cadence at 0.3 m/s,
     0.5 m/s push recovery, walk<->stand transitions). One rho phase = ONE
     Newton-Schulz KKT inversion per tick — the dominant tick cost (stage
-    timings in docs/DESIGN_NOTES.md) — at 10 NS steps (residual ~1.6e-4:
-    behaviorally identical to the 2e-6 floor in closed loop; 8 steps is
-    where degradation starts). Equivalence is pinned by
+    timings in docs/DESIGN_NOTES.md) — at 10 NS steps, the first 8 with
+    bf16 operands (residual ~6e-3: well inside the behavioral band — the
+    all-f32 NS(10) floor is 1.6e-4 and degradation only starts at the
+    NS(8)-equivalent ~6e-2), and the Kinv matvec inside the iteration scan
+    in bf16 (halves the loop's HBM traffic). Equivalence is pinned by
     tests/test_rollout.py::test_bench_budget_accuracy; cold-start
-    golden-tick parity tests use the default (polished) budget.
+    golden-tick parity tests use the default (polished, all-f32) budget.
     """
     return dataclasses.replace(
         MpcConfig(), n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
-        kinv_ns_iters=10, **overrides
+        kinv_ns_iters=10, kinv_bf16_iters=8, admm_bf16_matvec=True,
+        **overrides
     )
 
 

@@ -69,7 +69,8 @@ def advance_cmd_ref(
     cmd_ref: jnp.ndarray, x_fb: jnp.ndarray, mpc: MpcConfig
 ) -> jnp.ndarray:
     """One-tick update of the body-frame command anchor: integrate the
-    commanded arc, then leak toward the measured pose."""
+    commanded arc, then leak toward the measured pose (yaw leak separately
+    configurable — see MpcConfig.cmd_leak_yaw)."""
     yaw = cmd_ref[2]
     vbx, vby = mpc.x_cmd[9], mpc.x_cmd[10]
     step = jnp.stack(
@@ -81,7 +82,14 @@ def advance_cmd_ref(
     )
     ref = cmd_ref + step
     actual = jnp.stack([x_fb[3], x_fb[4], x_fb[2]])
-    return ref + CMD_REF_LEAK * (actual - ref)
+    leak = jnp.stack(
+        [
+            jnp.asarray(CMD_REF_LEAK, ref.dtype),
+            jnp.asarray(CMD_REF_LEAK, ref.dtype),
+            jnp.asarray(mpc.cmd_leak_yaw, ref.dtype),
+        ]
+    )
+    return ref + leak * (actual - ref)
 
 
 def control_tick(
@@ -116,7 +124,8 @@ def control_tick(
         cmd_ref=cmd_ref,
     )
     tau = low_level_control(
-        x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0], gait=gait
+        x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
+        gait=gait, cmd_ref=cmd_ref,
     )
     ref_next = advance_cmd_ref(
         cmd_ref if cmd_ref is not None else jnp.zeros(3, x_fb.dtype),

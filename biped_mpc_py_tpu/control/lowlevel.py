@@ -31,6 +31,7 @@ def low_level_control(
     contact: jnp.ndarray,
     u0: jnp.ndarray,
     gait: GaitConfig | None = None,
+    cmd_ref: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Joint torques (10,) from the first MPC control.
 
@@ -42,10 +43,25 @@ def low_level_control(
       u0: (12,) first-step MPC control [f_l, f_r, m_l, m_r].
       gait: sets the swing clock's phase period (None = reference h/2
         relation).
+      cmd_ref: (3,) leak-anchored command pose [x, y, yaw]
+        (controller.advance_cmd_ref); its yaw is the swing hip-yaw posture
+        target frame. None = use mpc.x_cmd[2].
     """
     R = eul2rotm(x_fb[0:3])
     c0 = contact[0, 0:2]
     sides = jnp.array([1.0, -1.0], dtype=q.dtype)
+    # Swing hip-yaw target: plant the foot aligned with the COMMANDED
+    # heading, not with the (oscillating) body. Under stick friction the
+    # planted foot is the yaw anchor the body pivots about, so foot
+    # heading — set by hip yaw at touchdown — is the real heading control
+    # channel; targeting q0 = 0 (body-aligned) instead couples the posture
+    # torque's body reaction into the next touchdown and pumps a
+    # gait-synchronous body-yaw oscillation (measured in the MuJoCo
+    # closed loop: growing +-0.8 rad swings, fall within 2 s).
+    yaw_des = mpc.x_cmd[2] if cmd_ref is None else cmd_ref[2]
+    dyaw = yaw_des - x_fb[2]
+    dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
+    q_yaw_des = jnp.clip(dyaw, -0.6, 0.6)
 
     def one_leg(q5, qd5, side, pf3, f3, m3, c):
         jm, jf = leg_jacobians(q5, side, biped.jac_geometry)
@@ -54,7 +70,31 @@ def low_level_control(
         u_w = -jnp.concatenate([R.T @ f3, R.T @ m3])
         tau_stance = jm.T @ u_w
         tau_swing = jf.T @ f_swing
-        return tau_stance * c + tau_swing * (1.0 - c)
+        # Swing foot-heading regulation. The 3-dof Cartesian swing task
+        # leaves foot YAW uncontrolled: it drifts under the task torque to
+        # the hip-yaw joint limit within ~0.5 s of walking, and every
+        # touchdown then fights the limit penalty — the dominant yaw
+        # disturbance (turning slips, heading chaos). The reference has no
+        # counterpart (its low-level never meets a real leg,
+        # ``bipedalLocomotionMPC.py:444-470``); gains default to 0 for C13
+        # parity and are enabled by art_mpc_config.
+        # Foot-heading control as a FORCE-DOMAIN wrench: a world-z moment
+        # on the swing foot, mapped through the angular Jacobian rows
+        # (jm[3:6] = body-frame joint axes). Exact and projector-free —
+        # J_wᵀ m applies precisely this wrench at the foot, so the
+        # position task is undisturbed to first order. (Two rejected
+        # designs, both measured: a raw hip-yaw joint PD disturbs the
+        # swing task and destabilizes walking; a null-space-projected PD
+        # cannot win — hip yaw is barely representable in the 2-dim task
+        # null space, and the MuJoCo plant still wound up to the joint
+        # limit and fell.) Foot world yaw = body yaw + q_hipyaw, so the
+        # error is the clipped heading error minus the hip-yaw angle.
+        m_yaw = mpc.kp_hipyaw * (q_yaw_des - q5[0]) - mpc.kd_hipyaw * qd5[0]
+        tau_yaw = jm[3:6].T @ (R.T[:, 2] * m_yaw)
+        # belt-and-braces: posture torque is a gentle secondary task — clamp
+        # it well below the stance/swing task scale (|tau_swing| ~ 10 Nm)
+        tau_yaw = jnp.clip(tau_yaw, -3.0, 3.0)
+        return tau_stance * c + (tau_swing + tau_yaw) * (1.0 - c)
 
     tau = jax.vmap(one_leg)(
         q.reshape(2, 5),

@@ -120,16 +120,14 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
         vcx, vcy = mpc.x_cmd[9], mpc.x_cmd[10]
         kv_x = mpc.kv * (x_fb[3] - mpc.x_cmd[3])
         kv_y = mpc.kv * (x_fb[4] - mpc.x_cmd[4])
-    if mpc.raibert_capture_gain:
-        # capture-point feedback on the velocity ERROR (raw-velocity capture
-        # feedback brakes steady walking; error feedback leaves the neutral
-        # point at the commanded speed)
-        kc = mpc.raibert_capture_gain * jnp.sqrt(mpc.x_cmd[5] / 9.81)
-        fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
-        fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
-        return fx, fy
-    fx = x_fb[3] + x_fb[9] * ff + kv_x
-    fy = x_fb[4] + x_fb[10] * ff + kv_y
+    # capture-point feedback on the velocity ERROR (raw-velocity capture
+    # feedback brakes steady walking; error feedback leaves the neutral
+    # point at the commanded speed). Gain 0 disables — computed branch-free
+    # so MpcConfig can be a traced/batched argument (gain sweeps vmap over
+    # whole configs, parallel/sweep.py).
+    kc = mpc.raibert_capture_gain * jnp.sqrt(mpc.x_cmd[5] / 9.81)
+    fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
+    fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
     return fx, fy
 
 

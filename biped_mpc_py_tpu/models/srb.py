@@ -28,23 +28,8 @@ import jax.numpy as jnp
 
 from biped_mpc_py_tpu.config import MpcConfig
 from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.linalg3 import inv3
 from biped_mpc_py_tpu.ops.rotations import eul2rotm, euler_rate_matrix_inv, skew
-
-
-def _inv3(M: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form 3x3 inverse (adjugate / determinant) — fuses on the VPU."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    inv_det = 1.0 / det
-    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], -1)
-    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1)
-    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], -1)
-    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
 
 
 def linearize(
@@ -71,7 +56,7 @@ def linearize(
     # reference form I_w = Rᵀ I_body R (``:157``); see module docstring.
     # diag(I_body) @ R is a row scale — no matmul needed.
     I_w = mtm3(Rot, jnp.asarray(biped.I_diag, dtype)[..., :, None] * Rot)
-    I_w_inv = _inv3(I_w)
+    I_w_inv = inv3(I_w)
 
     E_inv = euler_rate_matrix_inv(pitch, yaw)
 

@@ -132,12 +132,18 @@ def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
         f_lo = jnp.broadcast_to(biped.f_min, (3,))
     else:
         f_lo = jnp.stack([-biped.f_max[0], -biped.f_max[1], biped.f_min[2]])
+    tau_hi = biped.tau_max
+    if mpc.tau_z_max is not None:
+        # physically-transmissible yaw-couple bound (see config.tau_z_max)
+        tau_hi = tau_hi.at[2].set(
+            jnp.minimum(tau_hi[2], jnp.asarray(mpc.tau_z_max, tau_hi.dtype))
+        )
     ub_box = jnp.concatenate(
         [
             c[:, 0:1] * biped.f_max[None, :],
             c[:, 1:2] * biped.f_max[None, :],
-            c[:, 0:1] * biped.tau_max[None, :],
-            c[:, 1:2] * biped.tau_max[None, :],
+            c[:, 0:1] * tau_hi[None, :],
+            c[:, 1:2] * tau_hi[None, :],
         ],
         axis=1,
     )  # (h,12)
@@ -145,8 +151,8 @@ def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
         [
             c[:, 0:1] * f_lo[None, :],
             c[:, 1:2] * f_lo[None, :],
-            c[:, 0:1] * (-biped.tau_max[None, :]),
-            c[:, 1:2] * (-biped.tau_max[None, :]),
+            c[:, 0:1] * (-tau_hi[None, :]),
+            c[:, 1:2] * (-tau_hi[None, :]),
         ],
         axis=1,
     )
@@ -182,21 +188,56 @@ def condense(
     dtype = A.dtype
     x0 = jnp.concatenate([x_fb[:12], jnp.ones((1,), dtype)])
 
-    # forward accumulation of the prediction maps (h is small + static:
-    # unrolled at trace time, XLA fuses the 13x13 chains)
-    sx_rows = []
-    su_rows = []
-    su_prev = jnp.zeros((nx, nu * h), dtype)
-    sx_prev = jnp.eye(nx, dtype=dtype)
-    for k in range(h):
-        sx_k = A[k] @ sx_prev
-        su_k = A[k] @ su_prev if k > 0 else su_prev
-        su_k = jax.lax.dynamic_update_slice(su_k, B[k], (0, nu * k))
-        sx_rows.append(sx_k)
-        su_rows.append(su_k)
-        sx_prev, su_prev = sx_k, su_k
-    Sx = jnp.stack(sx_rows)  # (h,13,13)
-    Su = jnp.stack(su_rows)  # (h,13,120)
+    # Prediction maps with HALVED sequential depth. Each step is the affine
+    # operator x -> A_k x + S_k U (S_k = B_k at block-column k); composing
+    # two steps is (A_y A_x, A_y S_x + S_y). The dispatch count of the
+    # sequential chain — not its FLOPs — dominates this stage on TPU
+    # (small padded matmuls), so we pre-compose adjacent step PAIRS in one
+    # parallel batched matmul, run the h/2-step chain, and recover the even
+    # (mid-pair) rows with one more parallel combine.
+    # (A full log-depth lax.associative_scan was measured SLOWER: its
+    # up/down sweeps re-materialize the whole (h,13,12h) tensor per round.)
+    S0 = (
+        jnp.zeros((h, nx, h, nu), dtype)
+        .at[jnp.arange(h), :, jnp.arange(h)]
+        .set(B)
+        .reshape(h, nx, nu * h)
+    )
+    if h % 2 == 0:
+        A_ev, A_od = A[0::2], A[1::2]  # (h/2,13,13)
+        A2 = A_od @ A_ev
+        S2 = A_od @ S0[0::2] + S0[1::2]  # (h/2,13,12h)
+        sx_p, su_p = jnp.eye(nx, dtype=dtype), jnp.zeros((nx, nu * h), dtype)
+        sx_odd, su_odd = [], []
+        for k in range(h // 2):
+            sx_p = A2[k] @ sx_p
+            su_p = A2[k] @ su_p + S2[k]
+            sx_odd.append(sx_p)
+            su_odd.append(su_p)
+        sx_odd = jnp.stack(sx_odd)  # prefixes at steps 1,3,...,h-1
+        su_odd = jnp.stack(su_odd)
+        # even rows: prefix[2k] = step(2k) ∘ prefix[2k-1] (prefix[-1] = id)
+        sx_prev = jnp.concatenate(
+            [jnp.eye(nx, dtype=dtype)[None], sx_odd[:-1]], axis=0
+        )
+        su_prev = jnp.concatenate(
+            [jnp.zeros((1, nx, nu * h), dtype), su_odd[:-1]], axis=0
+        )
+        sx_even = A_ev @ sx_prev
+        su_even = A_ev @ su_prev + S0[0::2]
+        Sx = jnp.stack([sx_even, sx_odd], axis=1).reshape(h, nx, nx)
+        Su = jnp.stack([su_even, su_odd], axis=1).reshape(h, nx, nu * h)
+    else:
+        sx_rows, su_rows = [], []
+        su_prev = jnp.zeros((nx, nu * h), dtype)
+        sx_prev = jnp.eye(nx, dtype=dtype)
+        for k in range(h):
+            sx_prev = A[k] @ sx_prev
+            su_prev = A[k] @ su_prev + S0[k]
+            sx_rows.append(sx_prev)
+            su_rows.append(su_prev)
+        Sx = jnp.stack(sx_rows)
+        Su = jnp.stack(su_rows)
 
     Qd = jnp.asarray(mpc.Q, dtype)  # (13,)
     Rd = jnp.asarray(mpc.R, dtype)  # (12,)
@@ -204,7 +245,13 @@ def condense(
     SuQ = Su * Qd[None, :, None]  # (h,13,120)
     Su_flat = Su.reshape(h * nx, nu * h)
     SuQ_flat = SuQ.reshape(h * nx, nu * h)
-    P = SuQ_flat.T @ Su_flat + jnp.diag(jnp.tile(Rd, h))
+    # The (12h,13h)x(13h,12h) Gram product is the condense stage's FLOP
+    # bulk; 3-pass f32 (HIGH) instead of the framework-wide 6-pass
+    # "highest" — the ~1e-6 relative rounding on P is far below the QP's
+    # model/solver error floor.
+    P = jnp.matmul(
+        SuQ_flat.T, Su_flat, precision=jax.lax.Precision.HIGH
+    ) + jnp.diag(jnp.tile(Rd, h))
     free = jnp.einsum("kij,j->ki", Sx, x0) - x_ref.T  # (h,13)
     q = SuQ_flat.T @ free.reshape(h * nx)
 
@@ -219,7 +266,25 @@ def condense(
                        u=u.astype(dtype), Sx=Sx, Su=Su, x0=x0)
 
 
-def ns_inverse(K: jnp.ndarray, n_iters: int = 14) -> jnp.ndarray:
+def _mm_bf16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """One-pass MXU matmul: bfloat16 inputs, float32 accumulation/output.
+
+    Under the framework-wide ``default_matmul_precision("highest")`` policy
+    (utils/precision.py) every f32 matmul costs ~6 bf16 MXU passes; this
+    explicit cast buys the 6x cheaper single pass where an algorithm is
+    provably tolerant of bf16 operand rounding (Newton-Schulz climb steps,
+    see :func:`ns_inverse`).
+    """
+    return jnp.matmul(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def ns_inverse(
+    K: jnp.ndarray, n_iters: int = 14, bf16_iters: int = 0
+) -> jnp.ndarray:
     """SPD inverse by Jacobi-preconditioned Newton-Schulz iteration.
 
     TPU-first replacement for Cholesky + triangular inversion: XLA's batched
@@ -233,7 +298,17 @@ def ns_inverse(K: jnp.ndarray, n_iters: int = 14) -> jnp.ndarray:
 
     n_iters=14 reaches the f32 floor (||K Kinv - I|| ~ 2e-6, measured on
     hardware — equal to Cholesky + 2 refinement steps) for the MPC KKT's
-    cond ~ 1e4-1e6. Works on a single matrix or any leading batch axes.
+    cond (~1e2 Jacobi-equilibrated). Works on a single matrix or any leading
+    batch axes.
+
+    bf16_iters: run the FIRST bf16_iters steps with bfloat16 operands
+    (f32 accumulation), the rest in full f32. NS is self-correcting — each
+    step contracts whatever error the previous one carried — so the cheap
+    climb phase (residual 1 -> ~0.05, where bf16 and f32 trajectories are
+    measured to coincide) runs at 1 MXU pass per matmul instead of the 6
+    passes "highest" costs, and the final f32 steps restore the floor.
+    Measured on walking-rollout KKTs: bf16(8)+f32(3) reaches 4e-5 vs
+    f32(11)'s 4e-5 — identical, at ~1/3 the MXU passes.
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
@@ -241,8 +316,11 @@ def ns_inverse(K: jnp.ndarray, n_iters: int = 14) -> jnp.ndarray:
     Khat = K * s[..., :, None] * s[..., None, :]
     nrm = jnp.max(jnp.sum(jnp.abs(Khat), axis=-1), axis=-1)
     X = eye / nrm[..., None, None]
-    for _ in range(n_iters):
-        X = X @ (2.0 * eye - Khat @ X)
+    two_eye = 2.0 * eye
+    for _ in range(min(bf16_iters, n_iters)):
+        X = _mm_bf16(X, two_eye - _mm_bf16(Khat, X))
+    for _ in range(max(n_iters - bf16_iters, 0)):
+        X = X @ (two_eye - Khat @ X)
     return X * s[..., :, None] * s[..., None, :]
 
 
@@ -261,33 +339,51 @@ def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
     h, m, nu = qp.l.shape[0], qp.A_step.shape[0], 12
     dtype = qp.P.dtype
     P, q = qp.P, qp.q
-    A = jnp.broadcast_to(qp.A_step[None], (h, m, nu))  # (h,24,12)
-    D = jnp.ones((h, nu), dtype)
-    E = jnp.ones((h, m), dtype)
-    c = jnp.asarray(1.0, dtype)
-    Ph, Ah = P, A
+    # Norm-only iteration: the scaled matrices are never materialized inside
+    # the loop — each iteration needs only weighted max-reductions over |P|
+    # (fused multiply-reduce, bf16 operands: scalings steer convergence rate,
+    # not the fixed point, so 4e-3 rounding in the NORMS is free) and over
+    # the tiny shared A_step. This cuts the loop's HBM traffic ~8x vs
+    # rescaling (h*nu)^2 matrices per iteration; the scaled Ph/Ah are built
+    # once at the end in f32.
+    absP = jnp.abs(P).astype(jnp.bfloat16)
+    absA = jnp.abs(qp.A_step)  # (m,nu), shared across steps
 
     def body(carry, _):
-        Ph, Ah, D, E, c = carry
-        # column norms over stacked [P; A] per variable (h*nu,)
-        colP = jnp.max(jnp.abs(Ph), axis=0).reshape(h, nu)
-        colA = jnp.max(jnp.abs(Ah), axis=1)  # (h,nu)
+        D, E, c = carry
+        Dg = D.reshape(-1).astype(jnp.bfloat16)
+        # column norms of the currently-scaled [P; A] per variable
+        colP = (
+            c
+            * D.reshape(-1)
+            * jnp.max(absP * Dg[:, None], axis=0).astype(dtype)
+        ).reshape(h, nu)
+        EA = E[:, :, None] * absA[None]  # (h,m,nu) scaled |A| rows
+        colA = jnp.max(EA, axis=1) * D
         col = jnp.sqrt(jnp.maximum(jnp.maximum(colP, colA), 1e-8))
         d = 1.0 / col
-        rowA = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(Ah), axis=2), 1e-8))
+        rowA = jnp.sqrt(jnp.maximum(jnp.max(EA * D[:, None, :], axis=2), 1e-8))
         e = 1.0 / rowA
-        d_flat = d.reshape(-1)
-        Ph = Ph * d_flat[:, None] * d_flat[None, :]
-        Ah = Ah * e[:, :, None] * d[:, None, :]
-        # cost scaling: mean column norm of P toward 1
-        gamma = 1.0 / jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ph), axis=0)), 1e-8)
-        Ph = Ph * gamma
-        return (Ph, Ah, D * d, E * e, c * gamma), None
+        Dn = D * d
+        # cost scaling: mean column norm of the d-rescaled P toward 1
+        Dng = Dn.reshape(-1).astype(jnp.bfloat16)
+        colPn = (
+            c * Dn.reshape(-1) * jnp.max(absP * Dng[:, None], axis=0).astype(dtype)
+        )
+        gamma = 1.0 / jnp.maximum(jnp.mean(colPn), 1e-8)
+        return (Dn, E * e, c * gamma), None
 
-    (Ph, Ah, D, E, c), _ = jax.lax.scan(
-        body, (Ph, Ah, D, E, c), None, length=n_iters
+    (D, E, c), _ = jax.lax.scan(
+        body,
+        (jnp.ones((h, nu), dtype), jnp.ones((h, m), dtype),
+         jnp.asarray(1.0, dtype)),
+        None,
+        length=n_iters,
     )
-    qh = c * D.reshape(-1) * q
+    d_flat = D.reshape(-1)
+    Ph = c * P * d_flat[:, None] * d_flat[None, :]
+    Ah = qp.A_step[None] * E[:, :, None] * D[:, None, :]
+    qh = c * d_flat * q
     lh = E * qp.l
     uh = E * qp.u
     return Ph, qh, Ah, lh, uh, D, E, c
@@ -313,7 +409,7 @@ def solve_qp(
     """
     h, nu, m = mpc.h, 12, qp.A_step.shape[0]
     dtype = qp.P.dtype
-    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(qp)
+    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(qp, mpc.ruiz_iters)
 
     sigma = jnp.asarray(mpc.admm_sigma, dtype)
     alpha = jnp.asarray(mpc.admm_alpha, dtype)
@@ -342,14 +438,26 @@ def solve_qp(
         # faster, and its ||K Kinv - I|| ~ 2e-6 floor makes the
         # fixed-iteration ADMM trajectory factorization-roundoff-insensitive
         # — the fused Pallas kernel refines to the same floor).
-        Kinv = ns_inverse(K, mpc.kinv_ns_iters)
+        Kinv = ns_inverse(K, mpc.kinv_ns_iters, mpc.kinv_bf16_iters)
+        # Optional bf16 x-update matvec: the iteration loop is HBM-bound on
+        # re-reading Kinv every step; a bf16 copy (cast ONCE, outside the
+        # scan) halves that traffic. The 4e-3 operand rounding is ~15x below
+        # the measured behavioral threshold (closed loop degrades only once
+        # the applied inverse is ~6e-2 wrong — the NS(8) budget edge).
+        Kinv_apply = (
+            Kinv.astype(jnp.bfloat16) if mpc.admm_bf16_matvec else Kinv
+        )
 
         def iteration(carry, _):
             x, z, y = carry
             rhs = sigma * x - qh_steps + jnp.einsum(
                 "kji,kj->ki", Ah, rho_vec * z - y
             )
-            v = (Kinv @ rhs.reshape(-1)).reshape(h, nu)
+            v = jnp.matmul(
+                Kinv_apply,
+                rhs.reshape(-1).astype(Kinv_apply.dtype),
+                preferred_element_type=dtype,
+            ).reshape(h, nu)
             x_new = alpha * v + (1 - alpha) * x
             Av = jnp.einsum("kij,kj->ki", Ah, v)
             z_tilde = alpha * Av + (1 - alpha) * z
@@ -404,7 +512,7 @@ def solve_qp(
         AtWA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_pol * w_act, Ah)
         K_pol = Ph + sigma * jnp.eye(nu * h, dtype=dtype)
         K_pol = K_pol.at[idx[:, :, None], idx[:, None, :]].add(AtWA)
-        Kinv_pol = ns_inverse(K_pol, mpc.kinv_ns_iters)
+        Kinv_pol = ns_inverse(K_pol, mpc.kinv_ns_iters, mpc.kinv_bf16_iters)
 
         def al_step(carry, _):
             _, lam = carry
@@ -485,7 +593,9 @@ def solve_qp_batch(
     h, nu = mpc.h, 12
     N = qp.P.shape[0]
     dtype = qp.P.dtype
-    Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
+    Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(
+        lambda q: ruiz_equilibrate(q, mpc.ruiz_iters)
+    )(qp)
 
     def blockdiag(Ah_one):
         out = jnp.zeros((h * 24, h * nu), dtype)

@@ -56,10 +56,25 @@ def art_mpc_config(**overrides) -> MpcConfig:
       stepping (measured: falls at 0.06+ in place, while 0.3 m/s forward
       walking prefers wider) — the narrow reference offset is the
       all-command-robust articulated choice.
+    - ``kp_hipyaw/kd_hipyaw = 2.4/0.3``: swing foot-heading wrench PD
+      (control/lowlevel.py) — without it foot yaw pins at the hip-yaw
+      joint limit and heading is chaotic.
+    - ``tau_z_max = 8.0``: per-foot yaw-couple bound (config.tau_z_max).
+      The reference's 33.5 N m is physically untransmissible; 8 is the
+      measured minimum for robust forward walking on the COMPLIANT
+      engine, whose regularized friction transmits more yaw couple than
+      stick friction. The MuJoCo oracle runs at the stick-physical 4.0
+      (tests/test_mj_contact.py).
+
+    This operating point was selected by a TPU-batched stability-region
+    sweep (90 rollouts/25 s on one chip: gains x commands x initial-state
+    perturbations): zero falls and attitude RMS <= 0.028 across in-place,
+    0.15 m/s (p=4), 0.3 m/s (p=3) and 0.1 rad/s turning, each under
+    +-2e-3 rad initial joint perturbations.
     """
     cfg = dataclasses.replace(
         MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5,
-        swing_y_offset=0.04,
+        swing_y_offset=0.04, kp_hipyaw=2.4, kd_hipyaw=0.3, tau_z_max=8.0,
     )
     return dataclasses.replace(cfg, **overrides)
 
@@ -111,7 +126,8 @@ def art_closed_loop_tick(
         x = com_feedback_state(model, s)
         pf = sole_positions(model, s)
         tau = low_level_control(
-            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait
+            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait,
+            cmd_ref=world.ctrl.cmd_ref,
         )
         # one mass-matrix inverse per 5 ms low-level period (q moves ~1%);
         # the MuJoCo closed-loop force oracle bounds the fidelity cost

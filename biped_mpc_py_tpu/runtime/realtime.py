@@ -92,8 +92,8 @@ class RealtimeLoop:
             )
         )
         self._lowlevel = jax.jit(
-            lambda x, t, pf, q, qd, c, u0: low_level_control(
-                x, t, pf, q, qd, mpc, biped, c, u0, gait=gait
+            lambda x, t, pf, q, qd, c, u0, r: low_level_control(
+                x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r
             )
         )
         self._advance_ref = jax.jit(
@@ -113,7 +113,7 @@ class RealtimeLoop:
         tau = self._lowlevel(
             jnp.asarray(x_fb, jnp.float32), 0.0, jnp.asarray(pf, jnp.float32),
             jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32),
-            c, sol.controls[0],
+            c, sol.controls[0], self.ctrl.cmd_ref,
         )
         jax.block_until_ready(tau)
         jax.block_until_ready(
@@ -158,6 +158,7 @@ class RealtimeLoop:
                     jnp.asarray(x_fb, jnp.float32), t_sim + j * ll_dt,
                     jnp.asarray(pf, jnp.float32), jnp.asarray(q, jnp.float32),
                     jnp.asarray(qd, jnp.float32), contact, u0,
+                    self.ctrl.cmd_ref,
                 )
                 plant.apply(np.asarray(tau), ll_dt)
 

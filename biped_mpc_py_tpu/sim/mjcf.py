@@ -89,10 +89,26 @@ def to_mjcf(
             # viscous joint damping; contact=False keeps damping=0 (the
             # flight oracle strips it on the engine side too)
             damping = float(model.joint_damping) if contact else 0.0
+            # Closed-loop oracle also carries the model's joint limits.
+            # MuJoCo's stock limit constraint (default solref/solimp) is
+            # near-rigid where the engine's penalty (sim/engine.py) is a
+            # soft 80 N m/rad — a deliberate behavioral, not parametric,
+            # match (same stance as the contact law above): a torque-
+            # stiffness penalty has no faithful solref encoding because
+            # solref stiffness is in acceleration units (measured: the
+            # "direct" (-k,-b) form yields ~1/80 of the intended torque on
+            # the light hip-yaw DOF). Without any limit the two physics
+            # models diverge wildly in a DOF that rides its limit
+            # (measured: hip yaw wound up 8+ rad in MuJoCo while the
+            # engine pinned at 0.8).
+            lim = ""
+            if contact:
+                lo, hi = np.asarray(model.joint_limits)[i - 1]
+                lim = f' limited="true" range="{lo:.9g} {hi:.9g}"'
             lines.append(
                 f'{indent}  <joint name="j_{name}" type="hinge" '
                 f'axis="{_fmt(axis)}" damping="{damping:.9g}" '
-                f'armature="{float(model.armature):.9g}"/>'
+                f'armature="{float(model.armature):.9g}"{lim}/>'
             )
         lines.append(
             f'{indent}  <inertial pos="{_fmt(com[i])}" mass="{mass[i]:.9g}" '
@@ -124,7 +140,7 @@ def to_mjcf(
     )
     return f"""<mujoco model="hector_tpu">
   <option timestep="{timestep}" gravity="0 0 -9.81"/>
-  <compiler inertiafromgeom="false"/>
+  <compiler inertiafromgeom="false" angle="radian"/>
   <worldbody>
 {floor}{body_xml(TORSO, "    ")}
   </worldbody>

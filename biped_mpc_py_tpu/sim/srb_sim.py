@@ -27,7 +27,7 @@ from biped_mpc_py_tpu.control.gait import contact_sequence, phase_index
 from biped_mpc_py_tpu.control.reference import _raibert_xy
 from biped_mpc_py_tpu.control.swing import Y_OFFSET
 from biped_mpc_py_tpu.models.biped import BipedParams
-from biped_mpc_py_tpu.models.srb import _inv3
+from biped_mpc_py_tpu.ops.linalg3 import inv3
 from biped_mpc_py_tpu.ops.rotations import eul2rotm, euler_rate_matrix_inv, skew
 
 
@@ -67,7 +67,7 @@ def srb_step(
     def substep(x, _):
         R = eul2rotm(x[0:3])
         I_w = R.T @ jnp.diag(jnp.asarray(biped.I_diag, x.dtype)) @ R
-        I_w_inv = _inv3(I_w)
+        I_w_inv = inv3(I_w)
         r1 = state.foot[0:3] - x[3:6]
         r2 = state.foot[3:6] - x[3:6]
         torque = skew(r1) @ f1 + skew(r2) @ f2 + m1 + m2

@@ -78,11 +78,18 @@ print(f"ruiz:       {scan100(ruiz):.2f} ms/1024", flush=True)
 
 Ph = jax.vmap(ruiz_equilibrate)(qp)[0]
 K = Ph + 1e-6 * jnp.eye(120)
-nsi = lambda: ns_inverse(K, 14)
-print(f"ns_inv(14): {scan100(nsi):.2f} ms/1024", flush=True)
+print(f"ns_inv(14):        {scan100(lambda: ns_inverse(K, 14)):.2f} ms/1024", flush=True)
+print(f"ns_inv(10):        {scan100(lambda: ns_inverse(K, 10)):.2f} ms/1024", flush=True)
+print(f"ns_inv(10,bf16=8): {scan100(lambda: ns_inverse(K, 10, 8)):.2f} ms/1024", flush=True)
 
-solve = lambda: solve_qp_batch(qp, mpc, backend="xla").controls
-print(f"full solve: {scan100(solve):.2f} ms/1024", flush=True)
+import dataclasses
+mpc_f32 = dataclasses.replace(mpc, kinv_bf16_iters=0, admm_bf16_matvec=False)
+solve = lambda: solve_qp_batch(qp, mpc_f32, backend="xla").controls
+print(f"full solve (f32):  {scan100(solve):.2f} ms/1024", flush=True)
+solve2 = lambda: solve_qp_batch(qp, mpc, backend="xla").controls
+print(f"full solve (bf16): {scan100(solve2):.2f} ms/1024", flush=True)
 
+tick_f32 = lambda: batched_closed_loop_tick(worlds, mpc_f32, gait, bipeds)
+print(f"full tick (f32):   {scan100(tick_f32):.2f} ms/1024", flush=True)
 tick = lambda: batched_closed_loop_tick(worlds, mpc, gait, bipeds)
-print(f"full tick:  {scan100(tick):.2f} ms/1024", flush=True)
+print(f"full tick (bf16):  {scan100(tick):.2f} ms/1024", flush=True)

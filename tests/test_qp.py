@@ -243,3 +243,47 @@ def test_admm_extreme_states_stay_finite(tick_golden):
         assert (u[:, [2, 5]] <= 500.0 + 1.0).all()
         assert (u[:, [2, 5]] >= -1.0).all()
         assert float(sol.res_prim) < 5.0
+
+
+def test_ns_inverse_bf16_hybrid(tick_golden):
+    """The bf16-climb + f32-refine Newton-Schulz hybrid (fast_mpc_config's
+    kinv_bf16_iters) reaches the behavioral accuracy band on the real MPC
+    KKT matrix: bf16 rounding in the climb phase is self-corrected by the
+    final f32 steps (ops/qp.py::ns_inverse)."""
+    from biped_mpc_py_tpu.ops.qp import (
+        condense, ns_inverse, ruiz_equilibrate,
+    )
+    from biped_mpc_py_tpu.control.reference import com_reference, foot_reference
+    from biped_mpc_py_tpu.models.srb import linearize_horizon
+
+    mpc, biped, gait = MpcConfig(), BipedParams(), GaitConfig()
+    x_fb = jnp.asarray(
+        [0.02, -0.01, 0.1, 0.05, 0.02, 0.54, 0.1, 0.0, 0.2, 0.25, 0.05, 0.0],
+        jnp.float32,
+    )
+    t = jnp.asarray(0.48)
+    foot = jnp.asarray([0.03, 0.09, 0.0, 0.06, -0.09, 0.0], jnp.float32)
+    contact = contact_sequence(t, mpc, gait)
+    x_ref = com_reference(x_fb, mpc)
+    foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait)
+    A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
+    qp = condense(mpc, biped, x_fb, x_ref, A, B, contact)
+    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(qp)
+    rho = jnp.where((uh - lh) < 1e-6, 0.3e3, 0.3)
+    AtRA = jnp.einsum("kji,kj,kjl->kil", Ah, rho, Ah)
+    idx = jnp.arange(120).reshape(10, 12)
+    K = (Ph + 1e-6 * jnp.eye(120)).at[
+        idx[:, :, None], idx[:, None, :]
+    ].add(AtRA)
+
+    eye = jnp.eye(120)
+    res = lambda X: float(jnp.max(jnp.abs(eye - K @ X)))
+    r_f32 = res(ns_inverse(K, 10))
+    r_hyb = res(ns_inverse(K, 10, 8))
+    # the hybrid lands in the same behavioral band as all-f32 NS(10)
+    # (closed-loop degradation starts only around residual ~6e-2)
+    assert r_hyb < 2e-2, r_hyb
+    assert r_f32 < 2e-2, r_f32
+    # and the full-f32 tail exists: all-bf16 would plateau well above this
+    r_floor = res(ns_inverse(K, 14))
+    assert r_floor < 5e-5, r_floor

@@ -103,21 +103,41 @@ def test_articulated_body_frame_walk_stable(setup):
 
 def test_articulated_turning(setup):
     """Articulated walking turn at 0.1 rad/s: zero falls, stable gait,
-    monotone heading progress (~0.37 rad over 10 s). The articulated
-    yaw-authority envelope is well below the SRB layer's exact 0.5 rad/s
-    tracking: the line-foot friction moment and the swing leg's
-    null-space yaw are the binding factors (DESIGN_NOTES) — the assertion
-    pins the measured envelope so regressions (or improvements) surface."""
+    positive heading progress. With the swing foot-heading wrench PD
+    (round-2 fix, control/lowlevel.py: without it BOTH hip yaws pin at
+    the -0.8 rad joint limit within 0.5 s and every touchdown fights the
+    limit penalty, making the realized heading chaotic — one roundoff
+    branch even fell), the sweep-selected operating point
+    (art_mpc_config) turns fall-free under perturbation with attitude
+    RMS <= 0.03 (parallel/sweep.py methodology, DESIGN_NOTES). The
+    realized-rate band pins 0.2-1.2 of the commanded 1.0 rad over 10 s:
+    the residual RATE deficit is the documented leak-anchor tradeoff
+    (cmd_leak_yaw <= 0.02 was measured to fall on every branch).
+
+    The rollout is CHUNKED (25 x 10 ticks) so the hip-yaw assertion can
+    sample across gait phases: with the heading wrench the hip yaws CYCLE
+    (mean |q_yaw| ~ 0.3, brief per-step excursions near touchdown),
+    whereas the defect held them pinned at the 0.8 rad limit continuously
+    — a single terminal snapshot cannot distinguish the two (measured: a
+    passing branch ends one tick inside an excursion)."""
     biped, model = setup
     x_cmd = jnp.zeros(12).at[5].set(0.55).at[8].set(0.1)
     mpc = art_mpc_config(x_cmd=x_cmd, cmd_body_frame=True)
-    w = jax.jit(art_rollout_fn(250, mpc, GaitConfig(), model=model))(
-        init_art_world(mpc), biped
-    )
+    f = jax.jit(art_rollout_fn(10, mpc, GaitConfig(), model=model))
+    w = init_art_world(mpc)
+    q_yaw = []
+    for _ in range(25):
+        w = f(w, biped)
+        q_yaw.append([float(w.sim.q[0]), float(w.sim.q[5])])
+    q_yaw = np.abs(np.array(q_yaw))  # (25, 2)
     x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
-    assert 0.3 < x[2] < 1.1, x[2]  # measured 0.37 of the 1.0 rad commanded
-    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.06
+    assert 0.2 < x[2] < 1.2, x[2]
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
+    # hip yaws cycle clear of the +-0.8 rad joint limit instead of pinning
+    # there (the pre-fix defect: mean |q_yaw| ~ 0.8 on both legs)
+    assert q_yaw.mean(axis=0).max() < 0.55, q_yaw.mean(axis=0)
+    assert q_yaw.max() < 1.0, q_yaw.max()
 
 
 def test_articulated_bench_budget_accuracy(setup):
