@@ -36,20 +36,25 @@ def gait_for_speed(speed: float, gait_mode: int = 1) -> GaitConfig:
     time — cadence sets trace shapes via the contact window, so it is a
     Python-level decision, not a traced one).
 
-    Measured on the articulated stack (250-tick closed loops, zero-fall
-    boundary): the reference cadence p=5 (0.2 s phases) is robust only to
-    ~0.1 m/s; p=4 covers 0.15 m/s; p=3 (0.12 s phases) walks 0.3 m/s with
-    attitude RMS 0.05. Faster cadence shortens the single-stance inverted-
-    pendulum divergence window — strictly better tracking at every tested
-    speed, at the cost of higher swing-leg accelerations.
+    Measured on the articulated stack (perturbed 250-tick closed loops,
+    zero-fall boundary; stability-region sweeps in parallel/sweep.py): the
+    reference cadence p=5 (0.2 s phases) is robust only to ~0.1 m/s; p=4
+    covers 0.15 m/s; p=3 (0.12 s phases) walks 0.3 m/s; p=2 (0.08 s
+    phases) walks 0.4-0.8 m/s with attitude RMS <= 0.022 — the fast
+    cadence shortens the single-stance inverted-pendulum divergence window,
+    strictly better tracking at every tested speed, at the cost of higher
+    swing-leg accelerations. 1.0 m/s is outside the zero-fall envelope at
+    every swept cell (current ceiling between 0.8 and 1.0).
     """
     speed = abs(float(speed))
     if speed <= 0.1:
         p = 5
     elif speed <= 0.2:
         p = 4
-    else:
+    elif speed <= 0.3:
         p = 3
+    else:
+        p = 2
     return GaitConfig(steps_per_phase=p, gait_mode=gait_mode)
 
 

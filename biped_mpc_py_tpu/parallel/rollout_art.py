@@ -79,6 +79,27 @@ def art_mpc_config(**overrides) -> MpcConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def art_config_for_speed(speed: float, **overrides):
+    """(MpcConfig, GaitConfig) tuned for a commanded forward speed.
+
+    Encapsulates the measured articulated speed envelope (stability-region
+    sweeps, parallel/sweep.py; zero falls under +-2e-3 rad initial
+    perturbations at every listed point): cadence from
+    :func:`~biped_mpc_py_tpu.control.gait.gait_for_speed` (p=5/4/3/2 by
+    speed band), capture gain 0.5 throughout. At the p=2 cadence the
+    zero-fall envelope reaches 0.8 m/s (attitude RMS <= 0.022); 1.0 m/s
+    falls in every swept cell — the current ceiling is between 0.8 and
+    1.0. Stronger capture gains were measured WORSE at speed (0.7 m/s at
+    rg=0.7: falls every perturbation).
+    """
+    from biped_mpc_py_tpu.control.gait import gait_for_speed
+
+    s = abs(float(speed))
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(float(speed))
+    mpc = art_mpc_config(x_cmd=x_cmd, **overrides)
+    return mpc, gait_for_speed(s)
+
+
 @struct.dataclass
 class ArtWorld:
     sim: ArtState

@@ -85,6 +85,27 @@ def test_articulated_fast_walk_cadence_scaled(setup):
     assert float(w.metrics.res_prim_max) < 1.0
 
 
+@pytest.mark.parametrize("vx,min_x", [(0.4, 2.5), (0.8, 5.2)])
+def test_articulated_fast_speed_envelope(setup, vx, min_x):
+    """0.4 and 0.8 m/s articulated walking — far beyond the round-2-mid
+    0.3 m/s envelope. The unlock is the p=2 (0.08 s phase) cadence
+    (gait_for_speed): it shortens the single-stance inverted-pendulum
+    divergence window enough that the whole 0.4-0.8 band is zero-fall
+    under perturbation with attitude RMS <= 0.022 (stability-region
+    sweep, parallel/sweep.py; art_config_for_speed encapsulates the
+    envelope). 1.0 m/s falls in every swept cell — current ceiling."""
+    from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_speed
+
+    biped, model = setup
+    mpc, gait = art_config_for_speed(vx)
+    f = jax.jit(art_rollout_fn(250, mpc, gait, model=model))
+    w = f(init_art_world(mpc), biped)
+    x = np.array(w.sim.torso_state())
+    assert float(w.metrics.falls) == 0
+    assert x[3] > min_x  # commanded vx*10 m; Raibert steady-state lag
+    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.06
+
+
 def test_articulated_body_frame_walk_stable(setup):
     """Body-frame command mode on the articulated stack: the leak-anchored
     command reference (controller.advance_cmd_ref) keeps the in-place walk
