@@ -232,7 +232,11 @@ def test_articulated_batched(setup):
 
 def test_articulated_rough_terrain_per_env(setup):
     """BASELINE config 4 at batch scale: each env walks on its own random
-    rough ground (2 cm amplitude), no falls."""
+    rough ground at the 3 cm envelope edge, no falls.
+
+    The amplitude envelope (TPU sweep, 8 random fields x 10 s each):
+    2 and 3 cm walk fall-free with attitude RMS <= 0.027; 4 cm falls on
+    6/8 fields — 3 cm is the measured rough-ground ceiling."""
     from biped_mpc_py_tpu.parallel.rollout_art import (
         batched_art_rollout_terrain_fn,
     )
@@ -241,7 +245,7 @@ def test_articulated_rough_terrain_per_env(setup):
     biped, model = setup
     mpc = art_mpc_config()
     n = 2
-    terrains = Terrain.rough_batch(jax.random.PRNGKey(7), n, amplitude=0.02)
+    terrains = Terrain.rough_batch(jax.random.PRNGKey(7), n, amplitude=0.03)
     worlds = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), init_art_world(mpc)
     )
