@@ -12,7 +12,8 @@ per chip over the reference's 4/s.
 Env knobs: BENCH_ENVS (default 1024), BENCH_STEPS (default 50),
 BENCH_GAIT (1 walking / 0 standing), BENCH_ITERS/BENCH_PHASES/BENCH_POLISH
 (ADMM budget), BENCH_MODE (srb = SRB closed loop [headline], art = full
-articulated stack with 2 kHz Featherstone physics).
+articulated stack with 2 kHz Featherstone physics), BENCH_RANDOMIZE
+(1 = domain-randomized robot population instead of identical envs).
 """
 
 import json
@@ -29,6 +30,16 @@ from biped_mpc_py_tpu.parallel.rollout import batch_worlds, batched_rollout_fn
 from biped_mpc_py_tpu.utils.precision import f32_precision
 
 REFERENCE_STEPS_PER_SEC = 4.0  # BASELINE.md: est. 250 ms per reference tick
+
+
+def _bipeds(biped, n_envs, randomize):
+    if randomize:
+        from biped_mpc_py_tpu.parallel.rollout import randomize_params
+
+        return randomize_params(jax.random.PRNGKey(0), n_envs, biped)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
+    )
 
 
 def main() -> None:
@@ -50,9 +61,15 @@ def main() -> None:
         kinv_ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")),
         kinv_bf16_iters=int(os.environ.get("BENCH_NS_BF16", "8")),
         admm_bf16_matvec=bool(int(os.environ.get("BENCH_BF16_MATVEC", "1"))),
+        ruiz_bf16_norms=bool(int(os.environ.get("BENCH_RUIZ_BF16", "1"))),
     )
     gait = GaitConfig(gait_mode=gait_mode)
     biped = BipedParams()
+    # BENCH_RANDOMIZE=1: domain-randomized robot population (mass/inertia/
+    # friction, parallel.rollout.randomize_params) instead of N broadcast
+    # copies — BASELINE config 5's wording, and precludes any
+    # identical-env fast-path artifact in the measurement.
+    randomize = bool(int(os.environ.get("BENCH_RANDOMIZE", "0")))
 
     if mode == "art":
         from biped_mpc_py_tpu.parallel.rollout_art import (
@@ -66,22 +83,19 @@ def main() -> None:
             kinv_ns_iters=mpc.kinv_ns_iters,
             kinv_bf16_iters=mpc.kinv_bf16_iters,
             admm_bf16_matvec=mpc.admm_bf16_matvec,
+            ruiz_bf16_norms=mpc.ruiz_bf16_norms,
         )
         worlds = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)),
             init_art_world(mpc),
         )
-        bipeds = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
-        )
+        bipeds = _bipeds(biped, n_envs, randomize)
         fn = jax.jit(f32_precision(batched_art_rollout_fn(n_steps, mpc, gait)))
     else:
         backend = os.environ.get("BENCH_BACKEND", "xla")
-        block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "8"))
+        block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "4"))
         worlds = batch_worlds(mpc, n_envs)
-        bipeds = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n_envs,) + jnp.shape(x)), biped
-        )
+        bipeds = _bipeds(biped, n_envs, randomize)
         fn = jax.jit(
             f32_precision(
                 batched_rollout_fn(

@@ -5,7 +5,9 @@
 //   min 1/2 x'Px + q'x   s.t.  Gx <= h,  Ax = b
 // used for golden-value generation and cross-checking the on-device ADMM
 // solver. Mehrotra predictor-corrector with a dense symmetric-indefinite
-// KKT solve (LDL^T with Bunch-Kaufman-style 1x1 pivoting + regularization).
+// KKT solve: UNPIVOTED LDL^T with sign-preserving diagonal regularization
+// (the quasi-definite IPM KKT tolerates this; cvxopt regularizes the same
+// way).
 // Self-contained C++17, no external dependencies; exposed via extern "C"
 // for ctypes (see biped_mpc_py_tpu/runtime/native.py).
 
