@@ -71,6 +71,16 @@ class MpcConfig:
     kd_swing: float = 10.0
     # swing apex height [m]
     swing_height: float = 0.1
+    # Swing z-profile: False (default) = the reference's half-sine
+    # (``bipedalLocomotionMPC.py:436-437``; touchdown speed
+    # swing_height*pi/T); True = sin^2 — same apex, zero-velocity liftoff
+    # AND touchdown (control/swing.py::swing_phase_z).
+    swing_z_sin2: bool = struct.field(pytree_node=False, default=False)
+    # Touchdown-retraction damping [N·s/m]: extra horizontal damping on the
+    # swing foot, ramped in over the last 40% of the phase, braking the
+    # foot's tangential velocity before impact (suppresses the
+    # stick-friction drag impulse at touchdown). 0 = reference behavior.
+    swing_td_damp: float = 0.0
     # Swing foot-heading PD gains (control/lowlevel.py: world-z moment
     # wrench on the swing foot through the angular Jacobian). The 3-dof
     # Cartesian swing task leaves foot yaw uncontrolled; without this it
@@ -80,6 +90,38 @@ class MpcConfig:
     # enables it.
     kp_hipyaw: float = 0.0
     kd_hipyaw: float = 0.0
+    # Foot-heading channel clips (control/lowlevel.py): the hip-yaw
+    # posture TARGET clip [rad] and the resulting swing-foot yaw-wrench
+    # torque clip [N m]. Both bound the wrench's torso REACTION — on a
+    # body with I_z = 0.0711 kg m² a 3 N m reaction slews yaw ~1.7 rad/s
+    # per MPC period, so these are the dominant knobs of the
+    # turning-stability loop (sweepable: dynamic leaves).
+    hipyaw_target_clip: float = 0.6
+    tau_yaw_clip: float = 3.0
+    # Stance-pivot heading drive (control/lowlevel.py, round 3): a direct
+    # hip-yaw joint torque on the STANCE leg rotating the body about the
+    # planted foot at the commanded heading — the physical turning
+    # mechanism (a human pivots on the planted foot). The round-2 design
+    # routed ALL turning authority through the QP's yaw moment m_z, whose
+    # reaction BACKDRIVES the unservoed stance hip-yaw: the hips ratchet
+    # to the -0.8 rad joint limit within seconds of any >=0.2 rad/s turn
+    # and the heading loop goes chaotic (measured in BOTH engines —
+    # instrumented traces in docs/DESIGN_NOTES.md). Since foot yaw =
+    # body yaw + q0, the pivot torque is stateless:
+    #   tau0_stance = -kp_pivot*clip(dyaw) - kd_pivot*(qd0 + wz_cmd)
+    # (negative: advancing body yaw about the planted foot DECREASES q0).
+    # 0 (default) = reference-parity torque map.
+    kp_pivot: float = 0.0
+    kd_pivot: float = 0.0
+    # Foot-frame wrench constraints (static): rotate each foot's QP moment
+    # box and line-foot rollover rows into the foot's MEASURED heading
+    # frame (ops/qp.py::condense). The reference's body-aligned rows give
+    # the QP phantom cross-line moment authority whenever the hip-yaw
+    # angle is nonzero (turning) — the planted line foot cannot react a
+    # moment about its cross axis, and commanding one rolls the robot.
+    # False (default) = reference parity; the articulated ticks enable it
+    # by passing measured foot headings when this flag is set.
+    foot_frame_wrench: bool = struct.field(pytree_node=False, default=False)
     # Per-foot YAW moment bound override [N m] (None = biped.tau_max[2],
     # the reference's 33.5, ``bipedalLocomotionMPC.py:48``). The reference
     # bound is physically untransmissible: a ~14 cm line foot at mu=0.5
@@ -92,6 +134,15 @@ class MpcConfig:
     # reference bound. Future refinement: a load-dependent torsional cone
     # row |m_z| <= mu_z * f_z like the friction pyramid.
     tau_z_max: float | None = struct.field(pytree_node=False, default=None)
+    # Torsional friction coefficient [m] for the load-dependent yaw-couple
+    # cone rows ``|m_z| <= mu_z * f_z`` (ops/qp.py::torsional_rows) — the
+    # physically-correct replacement for the constant tau_z_max clamp: the
+    # transmissible couple is load-proportional, so a lightly-loaded foot
+    # (touchdown/liftoff) gets a proportionally small bound and the QP
+    # plans yaw authority it can actually react. The stick-physical value
+    # for the HECTOR line foot is ~mu*(lt+lh)/2 = 0.035; None (default) =
+    # rows disabled (reference semantics — the 33.5 N m box alone).
+    mu_z: float | None = struct.field(pytree_node=False, default=None)
     # Yaw-axis leak rate of the body-frame command anchor
     # (controller.advance_cmd_ref); x/y keep CMD_REF_LEAK. A slower yaw
     # leak holds heading error longer (more integral authority against the
@@ -155,6 +206,13 @@ class MpcConfig:
     # degradation threshold (see ops/qp.py::solve_qp). Default off
     # (parity/golden tests); on in fast_mpc_config.
     admm_bf16_matvec: bool = struct.field(pytree_node=False, default=False)
+    # Run the Ruiz norm reductions with bfloat16 operands (ops/qp.py::
+    # ruiz_equilibrate): scalings steer ADMM convergence rate only (the
+    # fixed point is unscaled) so the 4e-3 norm rounding is behaviorally
+    # free, but it shifts the scalings 0.2-0.7% and, at a fixed iteration
+    # count, perturbs returned iterates slightly. Default off
+    # (parity/golden tests bit-stable); on in fast_mpc_config.
+    ruiz_bf16_norms: bool = struct.field(pytree_node=False, default=False)
     # Ruiz equilibration iterations (static: fixed-count scan). Scalings
     # steer ADMM convergence rate only — the fixed point is unscaled — so
     # fewer iterations trade a slightly worse-equilibrated problem for less
@@ -179,6 +237,20 @@ class MpcConfig:
     # stall). False (default) = corrected one-step-shifted targets; True =
     # replicate the reference bit-for-bit.
     compat_ref_col0_bug: bool = struct.field(pytree_node=False, default=False)
+    # Reference ``:461,468``: the leg Jacobians are BODY-frame operators
+    # (functions of joint angles only), so world foot velocity is
+    # ``R @ (Jf qd)`` and a WORLD swing force maps to joint torques via
+    # ``Jfᵀ Rᵀ F`` — but the reference computes ``vf = R.T @ Jf @ qd``
+    # (rotated by -2·yaw) and ``tau += Jfᵀ F`` (force applied rotated by
+    # +yaw). Both coincide with the correct map at zero attitude, the only
+    # configuration the reference ever runs — its stance path does the
+    # SAME mapping correctly (``tau = Jmᵀ[Rᵀf; Rᵀm]``, ``:465``). The
+    # defect is yaw-PROPORTIONAL: at 0.5 rad heading the swing-leg PD
+    # pushes the foot ~30 deg off its intended direction, which measured
+    # as the articulated turning ceiling (every yaw-actuation channel fell
+    # at 0.2 rad/s until this fix; docs/DESIGN_NOTES.md round 3). False
+    # (default) = corrected frames; True = replicate the reference.
+    compat_swing_frame_bug: bool = struct.field(pytree_node=False, default=False)
     # reference ``:434`` adds the swing stance-width offset in WORLD y,
     # which collapses the stance width at yaw != 0 (turning). False
     # (default) = rotate the offset into the heading frame; True =
@@ -239,6 +311,7 @@ def fast_mpc_config(**overrides) -> MpcConfig:
     return dataclasses.replace(
         MpcConfig(), n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
         kinv_ns_iters=10, kinv_bf16_iters=8, admm_bf16_matvec=True,
+        ruiz_bf16_norms=True,
         **overrides
     )
 
@@ -254,5 +327,6 @@ def reference_compat_config(**overrides) -> MpcConfig:
         compat_force_box_bug=True,
         compat_ref_col0_bug=True,
         compat_swing_yaw_bug=True,
+        compat_swing_frame_bug=True,
     )
     return dataclasses.replace(cfg, **overrides)

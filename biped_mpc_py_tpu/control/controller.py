@@ -22,7 +22,7 @@ from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.models.kinematics import foot_positions_world
-from biped_mpc_py_tpu.ops.qp import QpSolution
+from biped_mpc_py_tpu.ops.qp import M_STEP, QpSolution
 
 
 @struct.dataclass
@@ -32,7 +32,9 @@ class ControllerState:
 
     qp: QpSolution
     # [x, y, yaw] world anchor the body-frame velocity command integrates
-    # from (unused in world-frame command mode)
+    # from. Consumed ONLY when mpc.cmd_body_frame=True (com_reference and
+    # the foot-heading channel in lowlevel.py both gate on it); in
+    # world-frame command mode it is still advanced but read by nothing.
     cmd_ref: jnp.ndarray
 
     @classmethod
@@ -43,8 +45,8 @@ class ControllerState:
             qp=QpSolution(
                 controls=zero((h, 12), dtype),
                 states=zero((h, 13), dtype),
-                z=zero((h, 24), dtype),
-                y=zero((h, 24), dtype),
+                z=zero((h, M_STEP), dtype),
+                y=zero((h, M_STEP), dtype),
                 res_prim=jnp.asarray(0.0, dtype),
                 res_dual=jnp.asarray(0.0, dtype),
             ),
@@ -119,9 +121,12 @@ def control_tick(
     contact = contact_sequence(t, mpc, gait)
     warm = None if ctrl_state is None else ctrl_state.qp
     cmd_ref = None if ctrl_state is None else ctrl_state.cmd_ref
+    foot_yaw = (
+        x_fb[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
+    )
     sol = solve_mpc(
         x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait,
-        cmd_ref=cmd_ref,
+        cmd_ref=cmd_ref, foot_yaw=foot_yaw,
     )
     tau = low_level_control(
         x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0],

@@ -32,6 +32,7 @@ def low_level_control(
     u0: jnp.ndarray,
     gait: GaitConfig | None = None,
     cmd_ref: jnp.ndarray | None = None,
+    terrain=None,
 ) -> jnp.ndarray:
     """Joint torques (10,) from the first MPC control.
 
@@ -44,8 +45,9 @@ def low_level_control(
       gait: sets the swing clock's phase period (None = reference h/2
         relation).
       cmd_ref: (3,) leak-anchored command pose [x, y, yaw]
-        (controller.advance_cmd_ref); its yaw is the swing hip-yaw posture
-        target frame. None = use mpc.x_cmd[2].
+        (controller.advance_cmd_ref); in body-frame command mode its yaw is
+        the swing foot-heading target frame. None, or world-frame command
+        mode = use mpc.x_cmd[2] (the commanded world yaw).
     """
     R = eul2rotm(x_fb[0:3])
     c0 = contact[0, 0:2]
@@ -58,17 +60,49 @@ def low_level_control(
     # torque's body reaction into the next touchdown and pumps a
     # gait-synchronous body-yaw oscillation (measured in the MuJoCo
     # closed loop: growing +-0.8 rad swings, fall within 2 s).
-    yaw_des = mpc.x_cmd[2] if cmd_ref is None else cmd_ref[2]
+    # cmd_ref is a command ANCHOR only in body-frame mode (com_reference
+    # gates on mpc.cmd_body_frame); in world-frame mode it merely trails
+    # measured yaw via the leak, so using it there would erase a nonzero
+    # world-frame yaw command x_cmd[2] from the foot-heading channel.
+    if mpc.cmd_body_frame and cmd_ref is not None:
+        yaw_des = cmd_ref[2]
+    else:
+        yaw_des = mpc.x_cmd[2]
     dyaw = yaw_des - x_fb[2]
     dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
-    q_yaw_des = jnp.clip(dyaw, -0.6, 0.6)
+    q_yaw_des = jnp.clip(dyaw, -mpc.hipyaw_target_clip, mpc.hipyaw_target_clip)
 
     def one_leg(q5, qd5, side, pf3, f3, m3, c):
         jm, jf = leg_jacobians(q5, side, biped.jac_geometry)
-        vf_w = R.T @ (jf @ qd5)
-        f_swing = swing_leg_force(x_fb, t, pf3, vf_w, mpc, side, gait)
+        # Leg Jacobians are BODY-frame operators, so world foot velocity
+        # is R @ (Jf qd) and a world swing force maps through Jfᵀ Rᵀ. The
+        # reference rotates both the WRONG way (``:461,468`` — exact only
+        # at zero attitude; see config.compat_swing_frame_bug): replicable
+        # via the compat flag, corrected by default. The stance branch
+        # below is the reference's own (correct) mapping.
+        if mpc.compat_swing_frame_bug:
+            vf_w = R.T @ (jf @ qd5)
+        else:
+            vf_w = R @ (jf @ qd5)
+        f_swing = swing_leg_force(
+            x_fb, t, pf3, vf_w, mpc, side, gait, terrain
+        )
+        if not mpc.compat_swing_frame_bug:
+            f_swing = R.T @ f_swing
         u_w = -jnp.concatenate([R.T @ f3, R.T @ m3])
         tau_stance = jm.T @ u_w
+        # Stance-pivot heading drive (config.kp_pivot): rotate the body
+        # about the PLANTED foot with the stance hip-yaw motor. Foot yaw =
+        # body yaw + q0, so driving the body toward the commanded heading
+        # is a direct torque on q0 with no state: -kp*dyaw (advancing body
+        # yaw decreases q0) and rate damping toward the commanded turn
+        # rate (target qd0 = -wz). Routing turning through the QP's m_z
+        # alone backdrives this joint to its limit instead (measured).
+        tau_pivot = (
+            -mpc.kp_pivot * jnp.clip(dyaw, -0.3, 0.3)
+            - mpc.kd_pivot * (qd5[0] + mpc.x_cmd[8])
+        )
+        tau_stance = tau_stance.at[0].add(tau_pivot)
         tau_swing = jf.T @ f_swing
         # Swing foot-heading regulation. The 3-dof Cartesian swing task
         # leaves foot YAW uncontrolled: it drifts under the task torque to
@@ -93,7 +127,7 @@ def low_level_control(
         tau_yaw = jm[3:6].T @ (R.T[:, 2] * m_yaw)
         # belt-and-braces: posture torque is a gentle secondary task — clamp
         # it well below the stance/swing task scale (|tau_swing| ~ 10 Nm)
-        tau_yaw = jnp.clip(tau_yaw, -3.0, 3.0)
+        tau_yaw = jnp.clip(tau_yaw, -mpc.tau_yaw_clip, mpc.tau_yaw_clip)
         return tau_stance * c + (tau_swing + tau_yaw) * (1.0 - c)
 
     tau = jax.vmap(one_leg)(

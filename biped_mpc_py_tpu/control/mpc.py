@@ -31,17 +31,30 @@ def build_mpc_qp(
     contact: jnp.ndarray,
     gait: GaitConfig | None = None,
     cmd_ref: jnp.ndarray | None = None,
+    foot_yaw: jnp.ndarray | None = None,
+    terrain=None,
 ) -> CondensedQp:
     """Assemble the condensed MPC QP for one tick (no solve).
 
     ``gait`` sets the foot-reference Raibert lookaheads to the configured
     cadence (None = the reference's hard-coded h/2 relation); ``cmd_ref``
-    anchors the body-frame command arc (controller.advance_cmd_ref).
+    anchors the body-frame command arc (controller.advance_cmd_ref);
+    ``foot_yaw`` (2,) = measured absolute foot headings for foot-frame
+    wrench constraints (ops/qp.py::condense; None = the reference's
+    body-aligned rows).
     """
-    x_ref = com_reference(x_fb, mpc, cmd_ref)
-    foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait)
+    if terrain is None:
+        z_ground = 0.0
+    else:
+        # local ground height = mean terrain height under the two feet —
+        # the support surface the commanded CoM height x_cmd[5] rides on
+        z_ground = 0.5 * (
+            terrain.height(foot[0], foot[1]) + terrain.height(foot[3], foot[4])
+        )
+    x_ref = com_reference(x_fb, mpc, cmd_ref, z_ground=z_ground)
+    foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait, terrain)
     A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
-    return condense(mpc, biped, x_fb, x_ref, A, B, contact)
+    return condense(mpc, biped, x_fb, x_ref, A, B, contact, foot_yaw)
 
 
 def solve_mpc(
@@ -54,10 +67,14 @@ def solve_mpc(
     warm: QpSolution | None = None,
     gait: GaitConfig | None = None,
     cmd_ref: jnp.ndarray | None = None,
+    foot_yaw: jnp.ndarray | None = None,
+    terrain=None,
 ) -> QpSolution:
     """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
     controls, ADMM iterates (reusable as next tick's warm start), and
     primal/dual residuals (the failure-detection signal the reference never
     checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
-    qp = build_mpc_qp(x_fb, t, foot, mpc, biped, contact, gait, cmd_ref)
+    qp = build_mpc_qp(
+        x_fb, t, foot, mpc, biped, contact, gait, cmd_ref, foot_yaw, terrain
+    )
     return solve_qp(qp, mpc, warm)

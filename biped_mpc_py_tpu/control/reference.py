@@ -18,7 +18,10 @@ from biped_mpc_py_tpu.control.gait import phase_index, phase_time  # noqa: F401
 
 
 def com_reference(
-    x_fb: jnp.ndarray, mpc: MpcConfig, cmd_ref: jnp.ndarray | None = None
+    x_fb: jnp.ndarray,
+    mpc: MpcConfig,
+    cmd_ref: jnp.ndarray | None = None,
+    z_ground: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """CoM/state reference over the horizon -> (13, h).
 
@@ -45,6 +48,14 @@ def com_reference(
     consistent (position, velocity, yaw) target instead of the world-frame
     crab the reference commands imply.
 
+    ``z_ground``: local ground height under the support feet [m]
+    (terrain-adaptive height, round 3): the commanded CoM height
+    ``x_cmd[5]`` is interpreted ABOVE the local ground, so on rough
+    terrain the height target rides the surface instead of a fixed world
+    plane (the fixed-plane reference was the measured binding factor on
+    the rough-terrain envelope, docs/DESIGN_NOTES.md). 0 = reference
+    behavior (flat world).
+
     ``cmd_ref`` (3,) = [x, y, yaw] anchor for the body-frame arc. Pass the
     ControllerState's leak-integrated command reference (see
     controller.advance_cmd_ref): anchoring at raw feedback instead (the
@@ -60,7 +71,8 @@ def com_reference(
         ks = jnp.arange(1, h + 1, dtype=x_fb.dtype)
     v_cmd = mpc.x_cmd[6:12]  # (6,)
     pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
-    pose_hold = jnp.broadcast_to(mpc.x_cmd[:6, None], (6, h))
+    pose_cmd = mpc.x_cmd[:6].at[5].add(z_ground)
+    pose_hold = jnp.broadcast_to(pose_cmd[:, None], (6, h))
     pose = jnp.where(v_cmd[:, None] != 0, pose_int, pose_hold)
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
     if mpc.cmd_body_frame:
@@ -125,7 +137,11 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
     # point at the commanded speed). Gain 0 disables — computed branch-free
     # so MpcConfig can be a traced/batched argument (gain sweeps vmap over
     # whole configs, parallel/sweep.py).
-    kc = mpc.raibert_capture_gain * jnp.sqrt(mpc.x_cmd[5] / 9.81)
+    # clamp: a non-positive commanded height (e.g. zero-initialized x_cmd)
+    # must not NaN-poison fx/fy through sqrt even when the gain is 0
+    kc = mpc.raibert_capture_gain * jnp.sqrt(
+        jnp.maximum(mpc.x_cmd[5], 0.0) / 9.81
+    )
     fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
     fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
     return fx, fy
@@ -138,6 +154,7 @@ def foot_reference(
     mpc: MpcConfig,
     contact: jnp.ndarray,
     gait: GaitConfig | None = None,
+    terrain=None,
 ) -> jnp.ndarray:
     """Foot-position reference over the horizon -> (6, h).
 
@@ -173,9 +190,15 @@ def foot_reference(
             + x_fb[10] * 0.5 * mpc.h * mpc.dt
             + mpc.kv * (x_fb[4] - mpc.x_cmd[4])
         )
-    zero = jnp.zeros_like(fx1)
-    foot_1 = jnp.stack([fx1, fy1, zero, fx1, fy1, zero])  # (6,)
-    foot_2 = jnp.stack([fx2, fy2, zero, fx2, fy2, zero])
+    # future foot targets land ON the terrain surface (round 3:
+    # terrain-adaptive references; the reference hard-codes z=0, ``:84``)
+    if terrain is None:
+        z1 = z2 = jnp.zeros_like(fx1)
+    else:
+        z1 = terrain.height(fx1, fy1)
+        z2 = terrain.height(fx2, fy2)
+    foot_1 = jnp.stack([fx1, fy1, z1, fx1, fy1, z1])  # (6,)
+    foot_2 = jnp.stack([fx2, fy2, z2, fx2, fy2, z2])
 
     # selector 0/1/2 = cumulative number of stance flips before column j
     flips = jnp.any(contact[1:] != contact[:-1], axis=1).astype(jnp.int32)

@@ -42,15 +42,25 @@ def swing_target_xy(
 
 
 def swing_phase_z(t, mpc: MpcConfig, gait: GaitConfig | None, dtype):
-    """Sinusoidal swing-apex height at time t within the current phase.
+    """Swing-apex height profile at time t within the current phase.
 
-    Reference ``:436-437`` with the hard-coded half-gait-cycle period
-    ``dt*h/2`` generalized to ``steps_per_phase*dt`` (identical at the
-    default cadence).
+    Reference ``:436-437``: ``swingHeight * sin(pi t/T)`` with the
+    hard-coded half-gait-cycle period ``dt*h/2`` generalized to
+    ``steps_per_phase*dt`` (identical at the default cadence).
+
+    ``mpc.swing_z_sin2=True`` uses ``sin^2(pi t/T)`` instead: same apex,
+    but ZERO vertical velocity at liftoff and touchdown (the reference
+    sine hits the ground at ``swingHeight*pi/T`` ~ 0.6 m/s — under
+    MuJoCo's stick friction that impact couples into a tangential drag
+    impulse, the named suspect for the chaotic-marginal walking branch,
+    docs/DESIGN_NOTES.md).
     """
     t_p = phase_time(mpc, gait)
     t_phase = jnp.remainder(jnp.asarray(t, dtype), t_p)
-    return mpc.swing_height * jnp.sin(jnp.pi * t_phase / t_p)
+    s = jnp.sin(jnp.pi * t_phase / t_p)
+    if mpc.swing_z_sin2:
+        return mpc.swing_height * s * s
+    return mpc.swing_height * s
 
 
 def swing_leg_force(
@@ -61,9 +71,26 @@ def swing_leg_force(
     mpc: MpcConfig,
     side,
     gait: GaitConfig | None = None,
+    terrain=None,
 ) -> jnp.ndarray:
-    """PD force (3,) driving the swing foot to its Raibert target."""
+    """PD force (3,) driving the swing foot to its Raibert target.
+
+    ``mpc.swing_td_damp > 0`` adds horizontal damping that ramps in
+    quadratically over the LAST 40% of the swing phase (touchdown
+    retraction): the foot's tangential velocity is braked before impact,
+    so the stick-friction drag impulse at touchdown — which scales with
+    that velocity — is suppressed. 0 (default) = the reference's plain PD.
+    """
     fx, fy = swing_target_xy(x_fb, mpc, side, gait)
     fz = swing_phase_z(t, mpc, gait, x_fb.dtype)
+    if terrain is not None:
+        # swing apex rides the LOCAL terrain surface under the target
+        # (terrain-adaptive references, round 3)
+        fz = fz + terrain.height(fx, fy)
     foot_des = jnp.stack([fx, fy, fz])
-    return mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (-vf_w)
+    f = mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (-vf_w)
+    t_p = phase_time(mpc, gait)
+    frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
+    ramp = jnp.square(jnp.clip((frac - 0.6) / 0.4, 0.0, 1.0))
+    damp = mpc.swing_td_damp * ramp
+    return f - damp * jnp.concatenate([vf_w[:2], jnp.zeros(1, x_fb.dtype)])

@@ -17,9 +17,10 @@ WHOLE solve for a block of envs inside VMEM, in one launch:
   then (optional) active-set polish: K_pol inverse by the same NS, 3
   augmented-Lagrangian steps, exact-penalty merit accept/reject.
 
-Shapes are padded to the 128-lane tile: n=120 -> 128 variables, m=240 -> 256
-constraint rows; padding rows/cols carry identity/free bounds so the math is
-exact. All reductions keep 2-D (B, 1) shapes — rank-1 (B,) intermediates
+Shapes are padded to the 128-lane tile: n=120 -> 128 variables, m=280 -> 384
+constraint rows (28 rows/step incl. the torsional-cone extension,
+ops/qp.py::M_STEP); padding rows/cols carry identity/free bounds so the math
+is exact. All reductions keep 2-D (B, 1) shapes — rank-1 (B,) intermediates
 crash this toolchain's Mosaic relayout pass.
 
 Numerics: identical algorithm to ops/qp.py::solve_qp's scaled core
@@ -40,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_PAD = 128  # padded variable count (real: 120)
-M_PAD = 256  # padded constraint rows (real: 240)
+M_PAD = 384  # padded constraint rows (real: 280 = 10 steps x M_STEP(28))
+M_REAL = 280  # real constraint rows (lane index >= M_REAL is padding)
 EQ_RHO_BOOST = 1e3  # rho multiplier on (near-)equality rows, as in OSQP
 
 
@@ -125,7 +127,7 @@ def _qp_kernel(
         rho = jnp.where(eq > 0.5, EQ_RHO_BOOST * rho_s, rho_s)  # (B,256)
         # padding rows: rho = 1 so K's padding stays identity-dominated
         is_pad = (
-            jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1) >= 240
+            jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1) >= M_REAL
         ).astype(f32)
         rho = rho * (1.0 - is_pad) + is_pad
         inv_rho = 1.0 / rho
@@ -248,13 +250,13 @@ def _qp_kernel(
 )
 def fused_qp_solve(
     P: jnp.ndarray,  # (N,120,120) scaled Hessian
-    A: jnp.ndarray,  # (N,240,120) scaled stacked constraint matrix
+    A: jnp.ndarray,  # (N,280,120) scaled stacked constraint matrix
     q: jnp.ndarray,  # (N,120)
-    l: jnp.ndarray,  # (N,240)
-    u: jnp.ndarray,  # (N,240)
+    l: jnp.ndarray,  # (N,280)
+    u: jnp.ndarray,  # (N,280)
     x0: jnp.ndarray,  # (N,120)
-    z0: jnp.ndarray,  # (N,240)
-    y0: jnp.ndarray,  # (N,240)
+    z0: jnp.ndarray,  # (N,280)
+    y0: jnp.ndarray,  # (N,280)
     rho: float = 0.3,
     n_iters: int = 60,
     n_phases: int = 3,
@@ -262,13 +264,18 @@ def fused_qp_solve(
     sigma: float = 1e-6,
     alpha: float = 1.6,
     polish: bool = True,
-    block_envs: int = 8,
+    block_envs: int = 4,
     interpret: bool = False,
 ):
     """Solve a batch of Ruiz-scaled box-QPs with the fused kernel.
 
     The (near-)equality rows (u - l < 1e-6) get the OSQP 1e3 rho boost, as
-    in ops/qp.py. Returns (x (N,120), z (N,240), y (N,240)) — scaled space.
+    in ops/qp.py. Returns (x (N,120), z (N,280), y (N,280)) — scaled space.
+
+    ``block_envs=4`` is the largest hardware-safe block: the kernel scopes
+    ~11.4 MB of VMEM per env pair at the MPC problem size, so block 8
+    (22.8 MB) exceeds the 16 MB per-core VMEM limit and fails Mosaic
+    compilation (measured; docs/DESIGN_NOTES.md "Backend selection").
     """
     N = P.shape[0]
     n, m = P.shape[1], A.shape[1]

@@ -12,15 +12,17 @@ This module does it the TPU way:
    touches only the controls (the state columns of A_mu/A_f/A_LF are all
    zero, ``:231,237,267``), and the equalities are exactly the dynamics — so
    eliminating the states via ``X = Sx·x0 + Su·U`` is an *exact* reformulation:
-   a 120-variable strictly-convex dense QP whose 240 constraint rows are
+   a 120-variable strictly-convex dense QP whose 280 constraint rows are
    block-diagonal per horizon step. Small dense matrices are what the MXU
    eats.
 
 2. **Box/two-sided rows**. The reference encodes box bounds as 24 one-sided
    rows per step (``:234-251``); we use 12 two-sided rows ``l_k <= u_k <=
    u_k`` (OSQP form), halving the constraint block: per step
-   ``A_step (24,12) = [friction(8); I12; line-foot(4)]``, identical across
-   steps — only the bounds vary with contact.
+   ``A_step (28,12) = [friction(8); I12; line-foot(4); torsional(4)]``,
+   identical across steps — only the bounds vary with contact. (The
+   torsional-cone rows are a framework extension over the reference — see
+   :func:`torsional_rows`.)
 
 3. **ADMM (BoxOSQP-style) solve** (:func:`solve_qp`). The KKT matrix
    ``K = P + sigma·I + rho·blkdiag(A_stepᵀA_step)`` is inverted ONCE per tick
@@ -51,9 +53,9 @@ class CondensedQp:
 
     P: jnp.ndarray  # (120,120) cost Hessian (strictly PD)
     q: jnp.ndarray  # (120,)
-    A_step: jnp.ndarray  # (24,12) per-step constraint rows
-    l: jnp.ndarray  # (h,24) lower bounds
-    u: jnp.ndarray  # (h,24) upper bounds
+    A_step: jnp.ndarray  # (28,12) per-step constraint rows (M_STEP)
+    l: jnp.ndarray  # (h,28) lower bounds
+    u: jnp.ndarray  # (h,28) upper bounds
     Sx: jnp.ndarray  # (h,13,13) free response maps
     Su: jnp.ndarray  # (h,13,12h) forced response map
     x0: jnp.ndarray  # (13,) initial augmented state
@@ -65,8 +67,8 @@ class QpSolution:
 
     controls: jnp.ndarray  # (h,12)
     states: jnp.ndarray  # (h,13)
-    z: jnp.ndarray  # (h,24) constraint-space iterate
-    y: jnp.ndarray  # (h,24) dual iterate
+    z: jnp.ndarray  # (h,28) constraint-space iterate
+    y: jnp.ndarray  # (h,28) dual iterate
     res_prim: jnp.ndarray  # scalar, ||A u - z||_inf
     res_dual: jnp.ndarray  # scalar, ||P u + q + A^T y||_inf
 
@@ -88,7 +90,53 @@ def friction_rows(mu) -> jnp.ndarray:
     return F
 
 
-def line_foot_rows(biped: BipedParams, R: jnp.ndarray) -> jnp.ndarray:
+M_STEP = 28  # constraint rows per horizon step: friction 8 + box 12 +
+#              line-foot 4 + torsional cone 4
+
+
+def torsional_rows(mpc: MpcConfig) -> jnp.ndarray:
+    """Load-dependent torsional friction cone rows (4,12):
+    ``±m_z - mu_z·f_z <= 0`` per foot.
+
+    The reference bounds the yaw moment with a CONSTANT box (33.5 N·m,
+    ``bipedalLocomotionMPC.py:48``) that a ~14 cm line foot at mu=0.5 can
+    only transmit under ~10x its weight in normal load; the physically
+    transmissible yaw couple is load-proportional, ``|m_z| <= mu_z·f_z``
+    with ``mu_z ~ mu·(lt+lh)/2`` [m] (each contact point of the toe/heel
+    pair supplies tangential friction mu·f_z_i at its lever arm). Planning
+    with the cone instead of a constant clamp means a lightly-loaded foot
+    (touchdown/liftoff) is never commanded a couple it cannot react — the
+    QP shifts yaw authority to foot placement instead.
+
+    ``mpc.mu_z=None`` (reference semantics) returns ALL-ZERO rows — with
+    free bounds these contribute exactly nothing to the KKT or the
+    iterates, so the problem is bit-identical to the 24-row form.
+    """
+    Z = jnp.zeros((4, 12), jnp.float32)
+    if mpc.mu_z is None:
+        return Z
+    mz = jnp.asarray(mpc.mu_z, jnp.float32)
+    # u layout: [f_L(0:3), f_R(3:6), m_L(6:9), m_R(9:12)]
+    for foot, (fz, mzc) in enumerate(((2, 8), (5, 11))):
+        Z = Z.at[2 * foot + 0, mzc].set(1.0)
+        Z = Z.at[2 * foot + 1, mzc].set(-1.0)
+        Z = Z.at[2 * foot : 2 * foot + 2, fz].set(-mz)
+    return Z
+
+
+def _rz(psi):
+    """3x3 z-rotation for a traced heading angle."""
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack([
+        jnp.stack([c, -s, z]), jnp.stack([s, c, z]), jnp.stack([z, z, o])
+    ])
+
+
+def line_foot_rows(
+    biped: BipedParams, R: jnp.ndarray, foot_yaw: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Line-foot (toe/heel rollover) rows (4,12).
 
     Parity: reference ``A_LF1`` (``bipedalLocomotionMPC.py:253-263``): with
@@ -96,30 +144,45 @@ def line_foot_rows(biped: BipedParams, R: jnp.ndarray) -> jnp.ndarray:
     z-force through the current attitude R:
       -lh'·(e3ᵀRᵀ)·f + (e2ᵀRᵀ)·m <= 0   (heel)
       -lt'·(e3ᵀRᵀ)·f - (e2ᵀRᵀ)·m <= 0   (toe)      for each foot.
+
+    ``foot_yaw`` (2,): ABSOLUTE per-foot headings (body yaw + hip-yaw
+    angle). The reference implicitly assumes every foot is body-aligned —
+    false whenever the robot turns (the hip-yaw joint rotates the foot's
+    toe-heel line relative to the body), which hands the QP rollover rows
+    about the WRONG axis. With foot_yaw the rows use each planted foot's
+    own frame Rz(psi) (a stance foot is flat on the ground, so its
+    attitude is a pure z-rotation). None = reference behavior.
     """
     lt = biped.lt - 0.01
     lh = biped.lh - 0.02
-    a = R[:, 2]  # ([0,0,1] @ Rᵀ)_j = R[j,2]: third column of R
-    b = R[:, 1]  # ([0,1,0] @ Rᵀ)_j = R[j,1]: second column of R
+    if foot_yaw is None:
+        a_l = a_r = R[:, 2]  # ([0,0,1] @ Rᵀ)_j = R[j,2]: third column
+        b_l = b_r = R[:, 1]  # ([0,1,0] @ Rᵀ)_j = R[j,1]: second column
+    else:
+        Rl, Rr = _rz(foot_yaw[0]), _rz(foot_yaw[1])
+        a_l, a_r = Rl[:, 2], Rr[:, 2]
+        b_l, b_r = Rl[:, 1], Rr[:, 1]
     z3 = jnp.zeros(3, R.dtype)
     rows = jnp.stack(
         [
-            jnp.concatenate([-lh * a, z3, b, z3]),
-            jnp.concatenate([-lt * a, z3, -b, z3]),
-            jnp.concatenate([z3, -lh * a, z3, b]),
-            jnp.concatenate([z3, -lt * a, z3, -b]),
+            jnp.concatenate([-lh * a_l, z3, b_l, z3]),
+            jnp.concatenate([-lt * a_l, z3, -b_l, z3]),
+            jnp.concatenate([z3, -lh * a_r, z3, b_r]),
+            jnp.concatenate([z3, -lt * a_r, z3, -b_r]),
         ]
     )
     return rows
 
 
 def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
-    """Per-step bounds (l, u), each (h, 24), contact-gated.
+    """Per-step bounds (l, u), each (h, 28), contact-gated.
 
     Rows 0:8 friction (one-sided <= 0), 8:20 box on u (two-sided, reference
-    ``:239-250``), 20:24 line-foot (one-sided <= 0). Swing feet get [0, 0]
-    boxes (f_min = 0, tau scaled to 0), pinning their wrench to zero exactly
-    as the reference's gated bounds do.
+    ``:239-250``), 20:24 line-foot (one-sided <= 0), 24:28 torsional cone
+    (one-sided <= 0 when mpc.mu_z is set, free otherwise — see
+    :func:`torsional_rows`). Swing feet get [0, 0] boxes (f_min = 0, tau
+    scaled to 0), pinning their wrench to zero exactly as the reference's
+    gated bounds do.
 
     Force lower bound: corrected semantics bound only f_z below (horizontal
     components are governed by the friction pyramid); set
@@ -157,8 +220,14 @@ def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
         axis=1,
     )
     ones = jnp.ones((h, 8), ub_box.dtype)
-    l = jnp.concatenate([-_BIG * ones, lb_box, -_BIG * ones[:, :4]], axis=1)
-    u = jnp.concatenate([0.0 * ones, ub_box, 0.0 * ones[:, :4]], axis=1)
+    # torsional-cone rows: one-sided <= 0 when enabled; FREE when mu_z is
+    # None (the rows are all-zero then — exactly the 24-row problem)
+    tz_hi = 0.0 * ones[:, :4] if mpc.mu_z is not None else _BIG * ones[:, :4]
+    l = jnp.concatenate(
+        [-_BIG * ones, lb_box, -_BIG * ones[:, :4], -_BIG * ones[:, :4]],
+        axis=1,
+    )
+    u = jnp.concatenate([0.0 * ones, ub_box, 0.0 * ones[:, :4], tz_hi], axis=1)
     return l, u
 
 
@@ -170,6 +239,7 @@ def condense(
     A: jnp.ndarray,
     B: jnp.ndarray,
     contact: jnp.ndarray,
+    foot_yaw: jnp.ndarray | None = None,
 ) -> CondensedQp:
     """Build the condensed QP from the horizon linearization.
 
@@ -256,9 +326,23 @@ def condense(
     q = SuQ_flat.T @ free.reshape(h * nx)
 
     R = eul2rotm(x_fb[0:3])
+    # Box rows: identity on u, EXCEPT that with foot_yaw the per-foot
+    # moment bounds apply in each foot's own heading frame — the
+    # reference's tau_max = (0, 67, 33.5) encodes the line foot's
+    # transmissibility (NO moment about the cross-line axis), which is an
+    # axis of the FOOT, not the body. A body-aligned box hands the QP up
+    # to sin(q0)*67 N·m of phantom cross-line authority whenever the
+    # hip-yaw angle q0 is nonzero (turning), which physically rolls the
+    # foot instead of the body (measured: the round-3 turning falls).
+    box = jnp.eye(nu, dtype=dtype)
+    if foot_yaw is not None:
+        RzL = _rz(foot_yaw[0]).astype(dtype)
+        RzR = _rz(foot_yaw[1]).astype(dtype)
+        box = box.at[6:9, 6:9].set(RzL.T).at[9:12, 9:12].set(RzR.T)
     A_step = jnp.concatenate(
-        [friction_rows(biped.mu).astype(dtype), jnp.eye(nu, dtype=dtype),
-         line_foot_rows(biped, R).astype(dtype)],
+        [friction_rows(biped.mu).astype(dtype), box,
+         line_foot_rows(biped, R, foot_yaw).astype(dtype),
+         torsional_rows(mpc).astype(dtype)],
         axis=0,
     )
     l, u = constraint_bounds(mpc, biped, contact)
@@ -324,7 +408,9 @@ def ns_inverse(
     return X * s[..., :, None] * s[..., None, :]
 
 
-def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
+def ruiz_equilibrate(
+    qp: CondensedQp, n_iters: int = 10, bf16_norms: bool = False
+):
     """Ruiz equilibration of the condensed QP (modified-Ruiz, as in OSQP).
 
     The raw MPC problem is badly scaled (P entries ~1e-4 from R, bounds
@@ -333,25 +419,32 @@ def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
 
       P̂ = c·D P D,  q̂ = c·D q,  Â_k = E_k A_step D_k,  l̂ = E l,  û = E u
 
-    with D (h,12) variable scaling, E (h,24) row scaling, c cost scaling.
+    with D (h,12) variable scaling, E (h,28) row scaling, c cost scaling.
     Fixed iteration count -> trace-friendly, vmappable.
+
+    ``bf16_norms=True`` (fast path: MpcConfig.ruiz_bf16_norms) runs the
+    norm reductions over |P| with bfloat16 operands. Scalings steer ADMM
+    convergence RATE only — the fixed point is unscaled — so 4e-3 rounding
+    in the norms is behaviorally free, but it does shift the scalings
+    0.2-0.7% and (at a fixed iteration count) perturbs returned iterates
+    slightly, so parity/golden paths keep the default f32.
     """
     h, m, nu = qp.l.shape[0], qp.A_step.shape[0], 12
     dtype = qp.P.dtype
     P, q = qp.P, qp.q
     # Norm-only iteration: the scaled matrices are never materialized inside
     # the loop — each iteration needs only weighted max-reductions over |P|
-    # (fused multiply-reduce, bf16 operands: scalings steer convergence rate,
-    # not the fixed point, so 4e-3 rounding in the NORMS is free) and over
+    # (fused multiply-reduce; optionally bf16 operands, see above) and over
     # the tiny shared A_step. This cuts the loop's HBM traffic ~8x vs
     # rescaling (h*nu)^2 matrices per iteration; the scaled Ph/Ah are built
     # once at the end in f32.
-    absP = jnp.abs(P).astype(jnp.bfloat16)
+    norm_dtype = jnp.bfloat16 if bf16_norms else dtype
+    absP = jnp.abs(P).astype(norm_dtype)
     absA = jnp.abs(qp.A_step)  # (m,nu), shared across steps
 
     def body(carry, _):
         D, E, c = carry
-        Dg = D.reshape(-1).astype(jnp.bfloat16)
+        Dg = D.reshape(-1).astype(norm_dtype)
         # column norms of the currently-scaled [P; A] per variable
         colP = (
             c
@@ -366,12 +459,16 @@ def ruiz_equilibrate(qp: CondensedQp, n_iters: int = 10):
         e = 1.0 / rowA
         Dn = D * d
         # cost scaling: mean column norm of the d-rescaled P toward 1
-        Dng = Dn.reshape(-1).astype(jnp.bfloat16)
+        Dng = Dn.reshape(-1).astype(norm_dtype)
         colPn = (
             c * Dn.reshape(-1) * jnp.max(absP * Dng[:, None], axis=0).astype(dtype)
         )
         gamma = 1.0 / jnp.maximum(jnp.mean(colPn), 1e-8)
-        return (Dn, E * e, c * gamma), None
+        # clamp the row scaling: an ALL-ZERO row (disabled torsional-cone
+        # rows, mu_z=None) has rowA at the 1e-8 floor every iteration, so
+        # unclamped E would compound 1e4 per iteration into f32 inf (and
+        # inf*0 = NaN downstream). 1e6 is far above any real row's scaling.
+        return (Dn, jnp.minimum(E * e, 1e6), c * gamma), None
 
     (D, E, c), _ = jax.lax.scan(
         body,
@@ -409,7 +506,9 @@ def solve_qp(
     """
     h, nu, m = mpc.h, 12, qp.A_step.shape[0]
     dtype = qp.P.dtype
-    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(qp, mpc.ruiz_iters)
+    Ph, qh, Ah, lh, uh, D, E, c = ruiz_equilibrate(
+        qp, mpc.ruiz_iters, mpc.ruiz_bf16_norms
+    )
 
     sigma = jnp.asarray(mpc.admm_sigma, dtype)
     alpha = jnp.asarray(mpc.admm_alpha, dtype)
@@ -506,7 +605,7 @@ def solve_qp(
         # floor (~1e-4 relative); branch-free — a wrong active set is
         # rejected by the violation check below.
         tol = 1e-5
-        w_act = ((z <= lh + tol) | (z >= uh - tol)).astype(dtype)  # (h,24)
+        w_act = ((z <= lh + tol) | (z >= uh - tol)).astype(dtype)  # (h,28)
         b_act = jnp.clip(z, lh, uh)
         rho_pol = jnp.asarray(1e4, dtype)
         AtWA = jnp.einsum("kji,kj,kjl->kil", Ah, rho_pol * w_act, Ah)
@@ -570,7 +669,7 @@ def solve_qp_batch(
     mpc: MpcConfig,
     warm: QpSolution | None = None,
     backend: str = "xla",
-    block_envs: int = 8,
+    block_envs: int = 4,
     interpret: bool = False,
 ) -> QpSolution:
     """Solve a BATCH of condensed QPs (leading env axis on every leaf).
@@ -591,24 +690,25 @@ def solve_qp_batch(
     from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_qp_solve
 
     h, nu = mpc.h, 12
+    m = qp.A_step.shape[-2]  # constraint rows per step (M_STEP)
     N = qp.P.shape[0]
     dtype = qp.P.dtype
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(
-        lambda q: ruiz_equilibrate(q, mpc.ruiz_iters)
+        lambda q: ruiz_equilibrate(q, mpc.ruiz_iters, mpc.ruiz_bf16_norms)
     )(qp)
 
     def blockdiag(Ah_one):
-        out = jnp.zeros((h * 24, h * nu), dtype)
+        out = jnp.zeros((h * m, h * nu), dtype)
         for k in range(h):
-            out = jax.lax.dynamic_update_slice(out, Ah_one[k], (24 * k, nu * k))
+            out = jax.lax.dynamic_update_slice(out, Ah_one[k], (m * k, nu * k))
         return out
 
     A_dense = jax.vmap(blockdiag)(Ah)
 
     if warm is None:
         x0 = jnp.zeros((N, h * nu), dtype)
-        z0 = jnp.zeros((N, h * 24), dtype)
-        y0 = jnp.zeros((N, h * 24), dtype)
+        z0 = jnp.zeros((N, h * m), dtype)
+        y0 = jnp.zeros((N, h * m), dtype)
     else:
         x0 = (warm.controls / D).reshape(N, -1)
         z0 = (E * warm.z).reshape(N, -1)
@@ -622,8 +722,8 @@ def solve_qp_batch(
         polish=mpc.admm_polish, block_envs=block_envs, interpret=interpret,
     )
     x_u = D * x.reshape(N, h, nu)
-    z_u = z.reshape(N, h, 24) / E
-    y_u = E * y.reshape(N, h, 24) / c[:, None, None]
+    z_u = z.reshape(N, h, m) / E
+    y_u = E * y.reshape(N, h, m) / c[:, None, None]
 
     def finish(qp1, x1, z1, y1):
         U = x1.reshape(-1)

@@ -97,7 +97,7 @@ def batched_closed_loop_tick(
     gait: GaitConfig,
     biped: BipedParams,
     backend: str = "xla",
-    block_envs: int = 8,
+    block_envs: int = 4,
 ) -> World:
     """One fused tick for a BATCH of envs (leading axis on every leaf).
 
@@ -148,7 +148,7 @@ def batched_rollout_fn(
     mpc: MpcConfig,
     gait: GaitConfig,
     backend: str = "xla",
-    block_envs: int = 8,
+    block_envs: int = 4,
 ):
     """Batched fused rollout over a leading env axis of (world, biped).
 

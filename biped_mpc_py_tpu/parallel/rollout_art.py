@@ -65,16 +65,24 @@ def art_mpc_config(**overrides) -> MpcConfig:
       engine, whose regularized friction transmits more yaw couple than
       stick friction. The MuJoCo oracle runs at the stick-physical 4.0
       (tests/test_mj_contact.py).
+    - ``swing_td_damp = 8.0`` (round 3): touchdown-retraction damping —
+      braking the swing foot's tangential velocity before impact removed
+      the MuJoCo chaotic-marginal walking branch entirely (4/4 perturbed
+      seeds walk 10 s vs 1/4 without; tools/sweep_mj.py) and is neutral
+      on the engine.
 
-    This operating point was selected by a TPU-batched stability-region
-    sweep (90 rollouts/25 s on one chip: gains x commands x initial-state
-    perturbations): zero falls and attitude RMS <= 0.028 across in-place,
-    0.15 m/s (p=4), 0.3 m/s (p=3) and 0.1 rad/s turning, each under
-    +-2e-3 rad initial joint perturbations.
+    This operating point was selected by TPU-batched stability-region
+    sweeps (parallel/sweep.py: gains x commands x initial-state
+    perturbations, ~25 s per 90 x 10 s rollouts on one chip): zero falls
+    and attitude RMS <= 0.028 across in-place, 0.15 m/s (p=4), 0.3 m/s
+    (p=3), each under +-2e-3 rad initial joint perturbations. For
+    TURNING commands use :func:`art_config_for_turn` (the corrected
+    swing frames made the heading wrench counterproductive there).
     """
     cfg = dataclasses.replace(
         MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5,
         swing_y_offset=0.04, kp_hipyaw=2.4, kd_hipyaw=0.3, tau_z_max=8.0,
+        swing_td_damp=8.0,
     )
     return dataclasses.replace(cfg, **overrides)
 
@@ -86,18 +94,56 @@ def art_config_for_speed(speed: float, **overrides):
     sweeps, parallel/sweep.py; zero falls under +-2e-3 rad initial
     perturbations at every listed point): cadence from
     :func:`~biped_mpc_py_tpu.control.gait.gait_for_speed` (p=5/4/3/2 by
-    speed band), capture gain 0.5 throughout. At the p=2 cadence the
-    zero-fall envelope reaches 0.8 m/s (attitude RMS <= 0.022); 1.0 m/s
-    falls in every swept cell — the current ceiling is between 0.8 and
-    1.0. Stronger capture gains were measured WORSE at speed (0.7 m/s at
-    rg=0.7: falls every perturbation).
+    speed band), capture gain 0.5 throughout. Round 3: the fast band
+    (p=2, >= 0.4 m/s) additionally uses the sin^2 swing-z profile
+    (zero-velocity touchdown): with the corrected swing frames
+    (config.compat_swing_frame_bug) the plain sine's 0.6 m/s touchdown
+    impact flips the 0.8 m/s branch, while td-damp + sin^2 walks it
+    fall-free (att RMS 0.025) — see the speed battery in
+    tools/sweep_validate3.py. Stronger capture gains were measured WORSE
+    at speed (0.7 m/s at rg=0.7: falls every perturbation).
     """
     from biped_mpc_py_tpu.control.gait import gait_for_speed
 
     s = abs(float(speed))
     x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(float(speed))
+    if s > 0.3:
+        overrides.setdefault("swing_z_sin2", True)
     mpc = art_mpc_config(x_cmd=x_cmd, **overrides)
     return mpc, gait_for_speed(s)
+
+
+def art_config_for_turn(wz: float, vx: float = 0.0, **overrides):
+    """(MpcConfig, GaitConfig) tuned for a commanded turn rate [rad/s],
+    optionally while walking forward at ``vx`` [m/s].
+
+    The round-3 turning operating point (see docs/DESIGN_NOTES.md "The
+    turning ceiling's ROOT CAUSE"): body-frame command mode, the
+    corrected swing frames, NO swing foot-heading wrench (post-fix it
+    destabilizes turning on the engine), yaw leak 0.12, touchdown
+    damping, and a faster cadence (p=3 turn-in-place, p=2 for curved
+    walking at >= 0.4 m/s). Sweep-validated zero-fall envelope
+    (tools/sweep_turn3.py, tools/sweep_validate3.py): turn-in-place to
+    0.5 rad/s, curves 0.4 m/s + 0.3 rad/s, under +-2e-3 rad initial
+    perturbations.
+    """
+    from biped_mpc_py_tpu.control.gait import gait_for_speed
+
+    x_cmd = (
+        jnp.zeros(12).at[5].set(0.55).at[8].set(float(wz))
+        .at[9].set(float(vx))
+    )
+    kw = dict(
+        cmd_body_frame=True, kp_hipyaw=0.0, kd_hipyaw=0.0,
+        cmd_leak_yaw=0.12,
+    )
+    if abs(vx) >= 0.35:
+        kw["swing_z_sin2"] = True
+        gait = gait_for_speed(abs(vx))
+    else:
+        gait = GaitConfig(steps_per_phase=3)
+    kw.update(overrides)
+    return art_mpc_config(x_cmd=x_cmd, **kw), gait
 
 
 @struct.dataclass
@@ -135,9 +181,13 @@ def art_closed_loop_tick(
     x_fb = com_feedback_state(model, sim)
     pf_w = sole_positions(model, sim)
     contact = contact_sequence(sim.t, mpc, gait)
+    foot_yaw = (
+        x_fb[2] + sim.q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
+    )
     sol = solve_mpc(
         x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
-        gait=gait, cmd_ref=world.ctrl.cmd_ref,
+        gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
+        terrain=terrain,
     )
     u0 = sol.controls[0]
 
@@ -148,7 +198,7 @@ def art_closed_loop_tick(
         pf = sole_positions(model, s)
         tau = low_level_control(
             x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait,
-            cmd_ref=world.ctrl.cmd_ref,
+            cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
         )
         # one mass-matrix inverse per 5 ms low-level period (q moves ~1%);
         # the MuJoCo closed-loop force oracle bounds the fidelity cost

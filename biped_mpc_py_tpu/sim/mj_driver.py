@@ -1,0 +1,159 @@
+"""MuJoCo co-simulation driver: the framework controller closed-loop in
+MuJoCo CPU on the exported MJCF.
+
+The strongest available physics oracle for the articulated stack (the
+reference names MuJoCo as its simulator TODO, ``README.md:7``; SURVEY.md §7
+stage 8): the SAME 25 Hz MPC + 200 Hz low-level controller that drives the
+JAX engine drives MuJoCo, and contact-force statistics / fall outcomes are
+compared. Used by tests/test_mj_contact.py (fidelity oracle) and
+tools/sweep_mj.py (robustness battery).
+
+MuJoCo steps on the host; the controller stages are jitted once and called
+per tick — this loop is for VALIDATION, not throughput (the batched TPU
+path is parallel/rollout_art.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
+from biped_mpc_py_tpu.control.controller import (
+    ControllerState,
+    advance_cmd_ref,
+)
+from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.lowlevel import low_level_control
+from biped_mpc_py_tpu.control.mpc import solve_mpc
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
+from biped_mpc_py_tpu.sim.engine import (
+    ArtState,
+    com_feedback_state,
+    sole_positions,
+)
+from biped_mpc_py_tpu.sim.mjcf import penalty_matched_solref, to_mjcf
+from biped_mpc_py_tpu.sim.model import ArticulatedModel, hector_model
+
+MJ_DT = 5e-4
+N_LL = 8  # low-level updates per MPC tick (200 Hz)
+MJ_PER_LL = 10  # mujoco steps per low-level update (2 kHz)
+
+
+def state_from_mj(d, t) -> ArtState:
+    """MuJoCo qpos/qvel (free-joint linear velocity in world, angular in
+    body) -> ArtState conventions."""
+    quat = jnp.asarray(d.qpos[3:7], jnp.float32)
+    R = quat_to_rotm(quat)
+    v_lin_body = R.T @ jnp.asarray(d.qvel[0:3], jnp.float32)
+    return ArtState(
+        pos=jnp.asarray(d.qpos[0:3], jnp.float32),
+        quat=quat,
+        v_base=jnp.concatenate(
+            [jnp.asarray(d.qvel[3:6], jnp.float32), v_lin_body]
+        ),
+        q=jnp.asarray(d.qpos[7:17], jnp.float32),
+        qd=jnp.asarray(d.qvel[6:16], jnp.float32),
+        t=jnp.asarray(t, jnp.float32),
+    )
+
+
+def mj_foot_forces(m, d) -> np.ndarray:
+    """Per-foot normal force (2,) summed over active floor contacts."""
+    import mujoco
+
+    f = np.zeros(2)
+    buf = np.zeros(6)
+    floor_id = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "floor")
+    for i in range(d.ncon):
+        con = d.contact[i]
+        mujoco.mj_contactForce(m, d, i, buf)  # buf[0] = normal force
+        g = con.geom2 if con.geom1 == floor_id else con.geom1
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+        if name and name.startswith("l_foot"):
+            f[0] += buf[0]
+        elif name and name.startswith("r_foot"):
+            f[1] += buf[0]
+    return f
+
+
+def run_mujoco_closed_loop(
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    n_ticks: int,
+    model: ArticulatedModel | None = None,
+    biped: BipedParams | None = None,
+    dq0: np.ndarray | None = None,
+    fall_z: float = 0.25,
+):
+    """Closed loop in MuJoCo under the framework controller.
+
+    dq0: optional (10,) initial joint-angle perturbation (the robustness
+    probe axis, matching parallel/sweep.py::perturbed_worlds).
+
+    Returns (per-tick per-foot forces (n,2), per-tick feedback states
+    (n,12), fell).
+    """
+    import mujoco
+
+    model = model or hector_model()
+    biped = biped or BipedParams()
+    m = mujoco.MjModel.from_xml_string(
+        to_mjcf(model, MJ_DT, contact=True,
+                solref=penalty_matched_solref(model))
+    )
+    d = mujoco.MjData(m)
+    s0 = ArtState.standing()
+    d.qpos[0:3] = np.array(s0.pos)
+    d.qpos[3:7] = np.array(s0.quat)
+    d.qpos[7:17] = np.array(s0.q)
+    if dq0 is not None:
+        d.qpos[7:17] += np.asarray(dq0)
+
+    fb = jax.jit(lambda s: (com_feedback_state(model, s),
+                            sole_positions(model, s)))
+
+    def _solve(x, t, pf, c, w, r, q):
+        fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
+        return solve_mpc(
+            x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
+            foot_yaw=fy,
+        )
+
+    solve = jax.jit(_solve)
+    lowlvl = jax.jit(
+        lambda x, t, pf, q, qd, c, u0, r: low_level_control(
+            x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r
+        )
+    )
+    ctrl = ControllerState.init(mpc)
+    forces, xs = [], []
+    t = 0.0
+    for _ in range(n_ticks):
+        s = state_from_mj(d, t)
+        x_fb, pf_w = fb(s)
+        contact = contact_sequence(t, mpc, gait)
+        sol = solve(x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q)
+        ctrl = ControllerState(
+            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc)
+        )
+        f_acc = np.zeros(2)
+        for _ in range(N_LL):
+            s = state_from_mj(d, t)
+            x_j, pf_j = fb(s)
+            tau = lowlvl(
+                x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0],
+                ctrl.cmd_ref,
+            )
+            d.qfrc_applied[6:16] = np.array(tau)
+            for _ in range(MJ_PER_LL):
+                mujoco.mj_step(m, d)
+            f_acc += mj_foot_forces(m, d)
+        forces.append(f_acc / N_LL)
+        xs.append(np.array(x_fb))
+        t += mpc.dt
+        if d.qpos[2] < fall_z:
+            return np.array(forces), np.array(xs), True
+    return np.array(forces), np.array(xs), False

@@ -41,6 +41,7 @@ def _parity_setup():
         compat_force_box_bug=True,
         compat_swing_yaw_bug=True,
         compat_ref_col0_bug=True,
+        compat_swing_frame_bug=True,
     )
     biped = BipedParams(leg=HECTOR_LEG_FK, leg_jac=HECTOR_LEG_JAC)
     return ref, fake, mpc, biped

@@ -42,8 +42,11 @@ def _expand_condensed_constraints(qp):
     for k in range(h_):
         blk = np.zeros((m, n))
         blk[:, 12 * k : 12 * (k + 1)] = A_step
-        G_rows.append(blk)
-        h_rows.append(u[k])
+        # drop FREE bounds (e.g. disabled torsional-cone rows): a 0·x <= BIG
+        # row is harmless to ADMM but degenerate for the IPM oracle
+        upper = u[k] < 1e19
+        G_rows.append(blk[upper])
+        h_rows.append(u[k][upper])
         lower = l[k] > -1e19
         G_rows.append(-blk[lower])
         h_rows.append(-l[k][lower])
@@ -287,3 +290,66 @@ def test_ns_inverse_bf16_hybrid(tick_golden):
     # and the full-f32 tail exists: all-bf16 would plateau well above this
     r_floor = res(ns_inverse(K, 14))
     assert r_floor < 5e-5, r_floor
+
+
+def test_torsional_cone_binds_with_load(tick_golden):
+    """The load-dependent torsional cone |m_z| <= mu_z f_z
+    (ops/qp.py::torsional_rows): an aggressive yaw-rate command that the
+    33.5 N m reference box would satisfy with an untransmissible couple is
+    clipped to the load-proportional bound, per stance foot, per step."""
+    ref, cap, *_ = tick_golden
+    mu_z = 0.035
+    # an aggressive yaw-rate step with a heavier wz tracking weight so the
+    # planned couple demand (~5.5 N m) exceeds the stance foot's
+    # transmissible bound (~0.035 * 140 N ~ 4.9 N m)
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[8].set(4.0)
+    Q = jnp.array(
+        [500, 100, 100, 300, 300, 700, 1, 1, 20, 1, 1, 1, 1], jnp.float32
+    )
+    mpc = dataclasses.replace(MpcConfig(), mu_z=mu_z, x_cmd=x_cmd, Q=Q)
+    biped = BipedParams()
+    x_fb = jnp.zeros(12).at[5].set(0.55)
+    foot = jnp.asarray([-0.02, 0.09, 0.0, -0.02, -0.09, 0.0], jnp.float32)
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    sol = solve_mpc(x_fb, 0.0, foot, mpc, biped, contact)
+    u = np.array(sol.controls)  # (h,12)
+    for foot_i, (fz, mz) in enumerate(((2, 8), (5, 11))):
+        viol = np.abs(u[:, mz]) - mu_z * u[:, fz]
+        assert np.all(viol < 5e-2), (foot_i, viol)
+    # and the cone actually BINDS: without it, the same tick plans a couple
+    # that VIOLATES the transmissibility inequality somewhere
+    mpc_off = dataclasses.replace(mpc, mu_z=None)
+    sol_off = solve_mpc(x_fb, 0.0, foot, mpc_off, biped, contact)
+    u_off = np.array(sol_off.controls)
+    viol_off = max(
+        np.max(np.abs(u_off[:, mz]) - mu_z * u_off[:, fz])
+        for fz, mz in ((2, 8), (5, 11))
+    )
+    assert viol_off > 0.5, viol_off
+
+
+def test_torsional_cone_disabled_is_bit_identical(tick_golden):
+    """mu_z=None keeps the 28-row problem numerically IDENTICAL to the old
+    24-row form: the disabled rows are all-zero with free bounds, so the
+    KKT and every iterate are unchanged (golden-parity safety)."""
+    ref, cap, *_ = tick_golden
+    mpc = MpcConfig()
+    biped = BipedParams()
+    x_fb = jnp.asarray(ref.x_fb, jnp.float32)
+    foot = jnp.asarray([-0.02, 0.09, 0.0, -0.02, -0.09, 0.0], jnp.float32)
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    qp = build_mpc_qp(x_fb, 0.0, foot, mpc, biped, contact)
+    assert qp.A_step.shape == (28, 12)
+    # the 4 torsional rows are exactly zero and free
+    assert float(jnp.max(jnp.abs(qp.A_step[24:]))) == 0.0
+    assert bool(jnp.all(qp.u[:, 24:] > 1e19))
+    sol24 = solve_qp(
+        dataclasses.replace(
+            qp, A_step=qp.A_step[:24], l=qp.l[:, :24], u=qp.u[:, :24]
+        ),
+        mpc,
+    )
+    sol28 = solve_qp(qp, mpc)
+    np.testing.assert_allclose(
+        np.array(sol24.controls), np.array(sol28.controls), atol=2e-4
+    )

@@ -55,7 +55,7 @@ def _scaled_mpc_batch(n_envs=8):
     )
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
     # stack the per-step A blocks into the dense block-diagonal form
-    B_, h, m, nu = Ah.shape[0], 10, 24, 12
+    B_, h, m, nu = Ah.shape[0], 10, 28, 12
 
     def blockdiag(Ah_one):
         out = jnp.zeros((h * m, h * nu), jnp.float32)
@@ -73,8 +73,8 @@ def test_kernel_matches_xla_core(n_iters):
     Ph, A, qh, l, u = _scaled_mpc_batch(8)
     B = Ph.shape[0]
     x0 = jnp.zeros((B, 120))
-    z0 = jnp.zeros((B, 240))
-    y0 = jnp.zeros((B, 240))
+    z0 = jnp.zeros((B, 280))
+    y0 = jnp.zeros((B, 280))
     x_k, z_k, y_k = fused_qp_solve(
         Ph, A, qh, l, u, x0, z0, y0, rho=0.3, n_iters=n_iters, n_phases=1,
         polish=False, interpret=True,

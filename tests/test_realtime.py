@@ -36,7 +36,7 @@ class MujocoPlant:
     """MuJoCo CPU as the robot behind the Plant interface."""
 
     def __init__(self):
-        from tests.test_mj_contact import _state_from_mj
+        from biped_mpc_py_tpu.sim.mj_driver import state_from_mj as _state_from_mj
 
         self._state_from_mj = _state_from_mj
         self.m = mujoco.MjModel.from_xml_string(

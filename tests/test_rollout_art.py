@@ -123,42 +123,74 @@ def test_articulated_body_frame_walk_stable(setup):
 
 
 def test_articulated_turning(setup):
-    """Articulated walking turn at 0.1 rad/s: zero falls, stable gait,
-    positive heading progress. With the swing foot-heading wrench PD
-    (round-2 fix, control/lowlevel.py: without it BOTH hip yaws pin at
-    the -0.8 rad joint limit within 0.5 s and every touchdown fights the
-    limit penalty, making the realized heading chaotic — one roundoff
-    branch even fell), the sweep-selected operating point
-    (art_mpc_config) turns fall-free under perturbation with attitude
-    RMS <= 0.03 (parallel/sweep.py methodology, DESIGN_NOTES). The
-    realized-rate band pins 0.2-1.2 of the commanded 1.0 rad over 10 s:
-    the residual RATE deficit is the documented leak-anchor tradeoff
-    (cmd_leak_yaw <= 0.02 was measured to fall on every branch).
+    """Articulated turn-in-place at 0.3 rad/s — the round-2 VERDICT's
+    done-bar (round-2 ceiling was 0.1 rad/s and believed structural).
 
-    The rollout is CHUNKED (25 x 10 ticks) so the hip-yaw assertion can
-    sample across gait phases: with the heading wrench the hip yaws CYCLE
-    (mean |q_yaw| ~ 0.3, brief per-step excursions near touchdown),
-    whereas the defect held them pinned at the 0.8 rad limit continuously
-    — a single terminal snapshot cannot distinguish the two (measured: a
-    passing branch ends one tick inside an excursion)."""
+    Round 3 found the actual root cause — the reference's swing-frame
+    defect (config.compat_swing_frame_bug; yaw-proportional swing-PD
+    disturbance) — and with the corrected frames the turning operating
+    point (art_config_for_turn: cadence p=3, no foot-heading wrench, yaw
+    leak 0.12, touchdown damping) turns 0.3-0.5 rad/s with zero falls
+    under perturbation (sweep battery in tools/sweep_validate3.py).
+    Pinned here: 0.3 rad/s, 10 s, >= 60% rate tracking, tight attitude.
+    """
+    from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_turn
+
     biped, model = setup
-    x_cmd = jnp.zeros(12).at[5].set(0.55).at[8].set(0.1)
-    mpc = art_mpc_config(x_cmd=x_cmd, cmd_body_frame=True)
-    f = jax.jit(art_rollout_fn(10, mpc, GaitConfig(), model=model))
-    w = init_art_world(mpc)
-    q_yaw = []
-    for _ in range(25):
-        w = f(w, biped)
-        q_yaw.append([float(w.sim.q[0]), float(w.sim.q[5])])
-    q_yaw = np.abs(np.array(q_yaw))  # (25, 2)
+    mpc, gait = art_config_for_turn(0.3)
+    f = jax.jit(art_rollout_fn(250, mpc, gait, model=model))
+    w = f(init_art_world(mpc), biped)
     x = np.array(w.sim.torso_state())
     assert float(w.metrics.falls) == 0
-    assert 0.2 < x[2] < 1.2, x[2]
+    # commanded 3.0 rad over 10 s; leak-anchor tradeoff bounds tracking
+    assert 1.8 < x[2] < 3.3, x[2]
     assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
-    # hip yaws cycle clear of the +-0.8 rad joint limit instead of pinning
-    # there (the pre-fix defect: mean |q_yaw| ~ 0.8 on both legs)
-    assert q_yaw.mean(axis=0).max() < 0.55, q_yaw.mean(axis=0)
-    assert q_yaw.max() < 1.0, q_yaw.max()
+
+
+def test_articulated_turning_fast_and_curved(setup):
+    """The round-3 turning envelope edge, batched in one rollout: 0.5
+    rad/s turn-in-place (p=3) — sweep-validated zero-fall — plus curved
+    walking 0.4 m/s + 0.3 rad/s (p=2) in a second jit."""
+    from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_turn
+
+    biped, model = setup
+    mpc, gait = art_config_for_turn(0.5)
+    # 150 ticks (6 s): the commanded 3.0 rad stays inside the euler yaw
+    # range (+-pi) so the tracking assertion is wrap-free
+    w = jax.jit(art_rollout_fn(150, mpc, gait, model=model))(
+        init_art_world(mpc), biped
+    )
+    assert float(w.metrics.falls) == 0
+    x = np.array(w.sim.torso_state())
+    assert 1.5 < x[2] < 3.1, x[2]  # >= 50% of the commanded 3.0 rad
+
+    mpc2, gait2 = art_config_for_turn(0.3, vx=0.4)
+    w2 = jax.jit(art_rollout_fn(250, mpc2, gait2, model=model))(
+        init_art_world(mpc2), biped
+    )
+    assert float(w2.metrics.falls) == 0
+    x2 = np.array(w2.sim.torso_state())
+    assert x2[2] > 1.8, x2[2]  # curving: heading advanced
+    # real arc traversal (sweeps: xy ~ (1, 2) m at this command)
+    assert np.hypot(x2[3], x2[4]) > 1.5, x2[3:5]
+
+
+def test_articulated_lateral_stepping(setup):
+    """BASELINE config 3's lateral half on the FULL articulated stack
+    (round-3; round 2 only exercised lateral shoves): sustained sideways
+    velocity commands track with zero falls (probe results: y = 0.6-0.9 m
+    in 10 s at 0.1-0.15 m/s, att RMS 0.014-0.015)."""
+    biped, model = setup
+    for vy, body in ((0.15, False), (0.1, True)):
+        x_cmd = jnp.zeros(12).at[5].set(0.55).at[10].set(vy)
+        mpc = art_mpc_config(x_cmd=x_cmd, cmd_body_frame=body)
+        w = jax.jit(art_rollout_fn(250, mpc, GaitConfig(4), model=model))(
+            init_art_world(mpc), biped
+        )
+        assert float(w.metrics.falls) == 0, (vy, body)
+        x = np.array(w.sim.torso_state())
+        assert x[4] > 0.45, (vy, body, x[4])
+        assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
 
 
 def test_articulated_bench_budget_accuracy(setup):
