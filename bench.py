@@ -90,7 +90,16 @@ def main() -> None:
             init_art_world(mpc),
         )
         bipeds = _bipeds(biped, n_envs, randomize)
-        fn = jax.jit(f32_precision(batched_art_rollout_fn(n_steps, mpc, gait)))
+        # physics substep count: default 5 (1 kHz) — validated against the
+        # MuJoCo closed-loop force oracle to the same fidelity as the
+        # round-2 2 kHz (total stance force 1.2% vs 1.8%, identical duty
+        # and per-foot stance forces; docs/DESIGN_NOTES.md round 3)
+        n_sub = int(os.environ.get("BENCH_ART_SUBSTEPS", "5"))
+        fn = jax.jit(
+            f32_precision(
+                batched_art_rollout_fn(n_steps, mpc, gait, n_substeps=n_sub)
+            )
+        )
     else:
         backend = os.environ.get("BENCH_BACKEND", "xla")
         block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "4"))

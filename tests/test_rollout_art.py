@@ -85,15 +85,17 @@ def test_articulated_fast_walk_cadence_scaled(setup):
     assert float(w.metrics.res_prim_max) < 1.0
 
 
-@pytest.mark.parametrize("vx,min_x", [(0.4, 2.5), (0.8, 5.2)])
+@pytest.mark.parametrize("vx,min_x", [(0.4, 2.5), (0.8, 5.2), (1.0, 5.5)])
 def test_articulated_fast_speed_envelope(setup, vx, min_x):
-    """0.4 and 0.8 m/s articulated walking — far beyond the round-2-mid
-    0.3 m/s envelope. The unlock is the p=2 (0.08 s phase) cadence
-    (gait_for_speed): it shortens the single-stance inverted-pendulum
-    divergence window enough that the whole 0.4-0.8 band is zero-fall
-    under perturbation with attitude RMS <= 0.022 (stability-region
-    sweep, parallel/sweep.py; art_config_for_speed encapsulates the
-    envelope). 1.0 m/s falls in every swept cell — current ceiling."""
+    """0.4, 0.8 and 1.0 m/s articulated walking. The p=2 (0.08 s phase)
+    cadence unlocked 0.4-0.8 in round 2; round 3 added the sin^2
+    zero-touchdown-velocity z profile (the corrected swing frames made
+    the plain sine's touchdown impact flip the 0.8 branch) and the 1.0
+    command point (apex 0.06 + capture gain 0.3 — zero-fall at 5
+    perturbations, tools/sweep_speed10.py). Realized speed saturates
+    ~0.67 m/s at the 1.0 command (Raibert steady-state lag; cranking the
+    velocity weight destabilizes instead of closing the gap —
+    art_config_for_speed docstring)."""
     from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_speed
 
     biped, model = setup
@@ -264,11 +266,15 @@ def test_articulated_batched(setup):
 
 def test_articulated_rough_terrain_per_env(setup):
     """BASELINE config 4 at batch scale: each env walks on its own random
-    rough ground at the 3 cm envelope edge, no falls.
+    rough ground, FULL 250-tick (10 s) rollouts at the 4 cm edge of the
+    round-3 envelope, no falls.
 
-    The amplitude envelope (TPU sweep, 8 random fields x 10 s each):
-    2 and 3 cm walk fall-free with attitude RMS <= 0.027; 4 cm falls on
-    6/8 fields — 3 cm is the measured rough-ground ceiling."""
+    The round-3 amplitude envelope (TPU sweep, 8 random fields x 10 s
+    each, tools/sweep_terrain.py) with TERRAIN-ADAPTIVE height references
+    (CoM z target rides the local ground, swing apex and MPC foot targets
+    ride the surface): 3 and 4 cm walk fall-free on 8/8 fields, 5 and
+    6 cm on 7/8 — vs the round-2 fixed-plane references, where 4 cm fell
+    on 6/8 fields (3 cm ceiling)."""
     from biped_mpc_py_tpu.parallel.rollout_art import (
         batched_art_rollout_terrain_fn,
     )
@@ -277,14 +283,16 @@ def test_articulated_rough_terrain_per_env(setup):
     biped, model = setup
     mpc = art_mpc_config()
     n = 2
-    terrains = Terrain.rough_batch(jax.random.PRNGKey(7), n, amplitude=0.03)
+    terrains = Terrain.rough_batch(jax.random.PRNGKey(7), n, amplitude=0.04)
     worlds = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), init_art_world(mpc)
     )
     bipeds = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), biped
     )
-    f = jax.jit(batched_art_rollout_terrain_fn(50, mpc, GaitConfig(), model=model))
+    f = jax.jit(
+        batched_art_rollout_terrain_fn(250, mpc, GaitConfig(), model=model)
+    )
     w = f(worlds, bipeds, terrains)
     assert float(w.metrics.falls.sum()) == 0
     assert np.isfinite(np.array(w.sim.pos)).all()
