@@ -95,9 +95,20 @@ def main() -> None:
         # round-2 2 kHz (total stance force 1.2% vs 1.8%, identical duty
         # and per-foot stance forces; docs/DESIGN_NOTES.md round 3)
         n_sub = int(os.environ.get("BENCH_ART_SUBSTEPS", "5"))
+        # mass-matrix-inverse hold (low-level periods per NS refresh):
+        # default 8 = one inverse per 40 ms MPC tick, the round-3 3.2x
+        # throughput lever (10.3k -> 33.3k); fidelity vs the hold=1
+        # oracle cadence validated per-operating-point in
+        # tools/sweep_minv.py and pinned by
+        # test_articulated_bench_budget_accuracy. BENCH_MINV_HOLD=1
+        # restores the oracle cadence.
+        minv_hold = int(os.environ.get("BENCH_MINV_HOLD", "8"))
         fn = jax.jit(
             f32_precision(
-                batched_art_rollout_fn(n_steps, mpc, gait, n_substeps=n_sub)
+                batched_art_rollout_fn(
+                    n_steps, mpc, gait, n_substeps=n_sub,
+                    minv_ll_hold=minv_hold,
+                )
             )
         )
     else:

@@ -179,16 +179,22 @@ def art_closed_loop_tick(
     n_lowlevel: int = 8,
     n_substeps: int = 10,
     terrain=None,
+    minv_ll_hold: int = 1,
 ) -> ArtWorld:
-    """One full MPC period on the articulated robot."""
-    from biped_mpc_py_tpu.sim.engine import com_feedback_state, sole_positions
+    """One full MPC period on the articulated robot.
+
+    ``minv_ll_hold``: number of consecutive low-level periods that reuse
+    one Newton-Schulz mass-matrix inverse (refreshed at the start of each
+    group). 1 (default) = refresh every 5 ms period, the MuJoCo-oracle
+    setting; 8 = once per 40 ms MPC tick, the bench fast path (fidelity
+    bound measured in docs/DESIGN_NOTES.md round 3)."""
+    from biped_mpc_py_tpu.sim.engine import feedback_and_soles, mass_matrix_inv
 
     sim = world.sim
     # feedback: TRUE whole-body CoM (see sim/engine.py) + actual sole
     # positions from the simulator — the articulated analog of the
-    # reference's x_fb / getFootPositionWorld inputs
-    x_fb = com_feedback_state(model, sim)
-    pf_w = sole_positions(model, sim)
+    # reference's x_fb / getFootPositionWorld inputs (ONE fused FK pass)
+    x_fb, pf_w = feedback_and_soles(model, sim)
     contact = contact_sequence(sim.t, mpc, gait)
     foot_yaw = (
         x_fb[2] + sim.q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
@@ -202,21 +208,30 @@ def art_closed_loop_tick(
 
     ll_dt = mpc.dt / n_lowlevel
 
-    def ll_step(s, _):
-        x = com_feedback_state(model, s)
-        pf = sole_positions(model, s)
-        tau = low_level_control(
-            x, s.t, pf, s.q, s.qd, mpc, biped, contact, u0, gait=gait,
-            cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
-        )
-        # one mass-matrix inverse per 5 ms low-level period (q moves ~1%);
-        # the MuJoCo closed-loop force oracle bounds the fidelity cost
-        return art_step(
-            model, s, tau, ll_dt, n_substeps, terrain,
-            m_refresh=n_substeps,
-        ), None
+    assert n_lowlevel % minv_ll_hold == 0, (n_lowlevel, minv_ll_hold)
 
-    sim_new, _ = jax.lax.scan(ll_step, sim, None, length=n_lowlevel)
+    def ll_group(s, _):
+        # one mass-matrix inverse per GROUP of low-level periods (q moves
+        # ~1% per 5 ms period); the MuJoCo closed-loop force oracle bounds
+        # the fidelity cost at the default hold=1
+        Minv = mass_matrix_inv(model, s.q)
+
+        def ll_step(s2, _):
+            x, pf = feedback_and_soles(model, s2)
+            tau = low_level_control(
+                x, s2.t, pf, s2.q, s2.qd, mpc, biped, contact, u0,
+                gait=gait, cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
+            )
+            return art_step(
+                model, s2, tau, ll_dt, n_substeps, terrain, Minv=Minv,
+            ), None
+
+        s, _ = jax.lax.scan(ll_step, s, None, length=minv_ll_hold)
+        return s, None
+
+    sim_new, _ = jax.lax.scan(
+        ll_group, sim, None, length=n_lowlevel // minv_ll_hold
+    )
 
     z = sim_new.pos[2]
     fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
@@ -245,6 +260,7 @@ def art_rollout_fn(
     n_lowlevel: int = 8,
     n_substeps: int = 10,
     terrain=None,
+    minv_ll_hold: int = 1,
 ):
     """jit-able ``(world, biped) -> world`` articulated rollout closure.
 
@@ -257,7 +273,7 @@ def art_rollout_fn(
             return (
                 art_closed_loop_tick(
                     w, mpc, gait, biped, model, n_lowlevel, n_substeps,
-                    terrain,
+                    terrain, minv_ll_hold,
                 ),
                 None,
             )

@@ -125,9 +125,53 @@ def sole_positions(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
     R_w, p_w, _, _ = leg_kinematics_lv(
         model, state.pos, state.quat, state.q, state.v_base, state.qd
     )
-    tip = jnp.array([0.0, 0.0, -0.036], state.q.dtype)
+    return _soles_from_fk(R_w, p_w, state.q.dtype)
+
+
+def _soles_from_fk(R_w, p_w, dtype) -> jnp.ndarray:
+    tip = jnp.array([0.0, 0.0, -0.036], dtype)
     soles = p_w[:, 4] + jnp.einsum("lij,j->li", R_w[:, 4], tip)
     return soles.reshape(6)
+
+
+def feedback_and_soles(model: ArticulatedModel, state: ArtState):
+    """(x_fb (12,), pf_w (6,)) from ONE leg-kinematics pass.
+
+    Fuses :func:`com_feedback_state` and :func:`sole_positions`, whose
+    separate calls each re-ran the full leg FK — together they were the
+    single largest stage of the articulated tick (2.1 ms of a ~5 ms
+    low-level period at 1024 envs, x8 per MPC tick; tools/
+    bench_art_stages.py). Identical outputs to the two functions."""
+    from biped_mpc_py_tpu.sim.dynamics import leg_kinematics_lv
+
+    dtype = state.q.dtype
+    R_w, p_w, v_legs, R0 = leg_kinematics_lv(
+        model, state.pos, state.quat, state.q, state.v_base, state.qd
+    )
+    m_legs = model.mass[1:].reshape(2, 5).astype(dtype)
+    c_legs = model.com[1:].reshape(2, 5, 3).astype(dtype)
+    total_m = jnp.sum(model.mass)
+
+    com_pts = p_w + jnp.einsum("lkij,lkj->lki", R_w, c_legs)  # (2,5,3)
+    v_ci = v_legs[..., 3:6] + jnp.cross(v_legs[..., 0:3], c_legs)
+    mom_legs = jnp.einsum(
+        "lk,lki->i", m_legs, jnp.einsum("lkij,lkj->lki", R_w, v_ci)
+    )
+    c0 = model.com[0].astype(dtype)
+    p_com = (
+        model.mass[0] * (state.pos + R0 @ c0)
+        + jnp.einsum("lk,lki->i", m_legs, com_pts)
+    ) / total_m
+    v0_ci = state.v_base[3:6] + jnp.cross(state.v_base[0:3], c0)
+    v_com = (model.mass[0] * (R0 @ v0_ci) + mom_legs) / total_m
+
+    eul = quat_to_eul(state.quat)
+    w_world = R0 @ state.v_base[0:3]
+    pos = jnp.stack([p_com[0], p_com[1], state.pos[2]])
+    v_t = R0 @ state.v_base[3:6]
+    vel = jnp.stack([v_com[0], v_com[1], v_t[2]])
+    x_fb = jnp.concatenate([eul, pos, w_world, vel])
+    return x_fb, _soles_from_fk(R_w, p_w, dtype)
 
 
 def contact_point_states(model: ArticulatedModel, state: ArtState):
@@ -225,6 +269,14 @@ def art_substep(
     )
 
 
+def mass_matrix_inv(model: ArticulatedModel, q: jnp.ndarray) -> jnp.ndarray:
+    """Newton-Schulz inverse of the CRBA mass matrix at q (16,16)."""
+    from biped_mpc_py_tpu.ops.qp import ns_inverse
+    from biped_mpc_py_tpu.sim.dynamics import crba_mass_matrix_lv
+
+    return ns_inverse(crba_mass_matrix_lv(model, q), n_iters=12)
+
+
 def art_step(
     model: ArticulatedModel,
     state: ArtState,
@@ -233,6 +285,7 @@ def art_step(
     n_substeps: int = 80,
     terrain=None,
     m_refresh: int = 1,
+    Minv: jnp.ndarray | None = None,
 ) -> ArtState:
     """Advance one control period (tau held zero-order) with a substep scan.
 
@@ -243,8 +296,19 @@ def art_step(
     ops/qp.py::ns_inverse (MXU-batched Newton-Schulz) rather than XLA's
     loop-lowered Cholesky. m_refresh=1 keeps the exact per-substep
     factorization (the oracle tests' setting).
+
+    ``Minv``: optional externally-held mass-matrix inverse
+    (:func:`mass_matrix_inv`) reused for the WHOLE step — the caller
+    chooses the refresh cadence (e.g. once per 40 ms MPC tick).
     """
     sub_dt = dt / n_substeps
+
+    if Minv is not None:
+        def body_pre(s, _):
+            return art_substep(model, s, tau, sub_dt, terrain, Minv), None
+
+        state, _ = jax.lax.scan(body_pre, state, None, length=n_substeps)
+        return state
 
     if m_refresh <= 1:
         def body(s, _):
@@ -253,16 +317,13 @@ def art_step(
         state, _ = jax.lax.scan(body, state, None, length=n_substeps)
         return state
 
-    from biped_mpc_py_tpu.ops.qp import ns_inverse
-    from biped_mpc_py_tpu.sim.dynamics import crba_mass_matrix_lv
-
     assert n_substeps % m_refresh == 0, (n_substeps, m_refresh)
 
     def outer(s, _):
-        Minv = ns_inverse(crba_mass_matrix_lv(model, s.q), n_iters=12)
+        Minv_ = mass_matrix_inv(model, s.q)
 
         def inner(s2, _):
-            return art_substep(model, s2, tau, sub_dt, terrain, Minv), None
+            return art_substep(model, s2, tau, sub_dt, terrain, Minv_), None
 
         s, _ = jax.lax.scan(inner, s, None, length=m_refresh)
         return s, None

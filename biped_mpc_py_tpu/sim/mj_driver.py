@@ -29,11 +29,7 @@ from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
-from biped_mpc_py_tpu.sim.engine import (
-    ArtState,
-    com_feedback_state,
-    sole_positions,
-)
+from biped_mpc_py_tpu.sim.engine import ArtState, feedback_and_soles
 from biped_mpc_py_tpu.sim.mjcf import penalty_matched_solref, to_mjcf
 from biped_mpc_py_tpu.sim.model import ArticulatedModel, hector_model
 
@@ -112,8 +108,7 @@ def run_mujoco_closed_loop(
     if dq0 is not None:
         d.qpos[7:17] += np.asarray(dq0)
 
-    fb = jax.jit(lambda s: (com_feedback_state(model, s),
-                            sole_positions(model, s)))
+    fb = jax.jit(lambda s: feedback_and_soles(model, s))
 
     def _solve(x, t, pf, c, w, r, q):
         fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None

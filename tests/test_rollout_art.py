@@ -196,10 +196,16 @@ def test_articulated_lateral_stepping(setup):
 
 
 def test_articulated_bench_budget_accuracy(setup):
-    """The benched fast solver budget (fast_mpc_config's 40/1/no-polish/
-    NS(10)) keeps the articulated 0.3 m/s walk as clean as the default
-    60/3/polish budget (the SRB analog is
-    test_rollout.py::test_bench_budget_accuracy)."""
+    """The benched fast path keeps the articulated 0.3 m/s walk as clean
+    as the default-budget stack (the SRB analog is
+    test_rollout.py::test_bench_budget_accuracy). Two rollouts:
+
+    1. fast solver budget (40/1/no-polish/NS(10)) at the default physics
+       (2 kHz, per-period mass-matrix refresh);
+    2. the EXACT bench art fast path (bench.py BENCH_MODE=art defaults):
+       fast budget + 1 kHz substeps + minv_ll_hold=8 (one NS mass-matrix
+       inverse per 40 ms tick, the round-3 3.2x throughput lever —
+       tools/sweep_minv.py)."""
     from biped_mpc_py_tpu.control.gait import gait_for_speed
 
     biped, model = setup
@@ -208,13 +214,15 @@ def test_articulated_bench_budget_accuracy(setup):
         x_cmd=x_cmd, n_admm_iters=40, admm_rho_phases=1, admm_polish=False,
         kinv_ns_iters=10,
     )
-    w = jax.jit(art_rollout_fn(250, mpc, gait_for_speed(0.3), model=model))(
-        init_art_world(mpc), biped
-    )
-    assert float(w.metrics.falls) == 0
-    assert float(w.sim.pos[0]) > 1.5
-    assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.08
-    assert float(w.metrics.res_prim_max) < 1.0
+    for tick_kw in ({}, dict(n_substeps=5, minv_ll_hold=8)):
+        w = jax.jit(
+            art_rollout_fn(250, mpc, gait_for_speed(0.3), model=model,
+                           **tick_kw)
+        )(init_art_world(mpc), biped)
+        assert float(w.metrics.falls) == 0, tick_kw
+        assert float(w.sim.pos[0]) > 1.5, tick_kw
+        assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.08, tick_kw
+        assert float(w.metrics.res_prim_max) < 1.0, tick_kw
 
 
 def test_articulated_push_recovery(setup):
