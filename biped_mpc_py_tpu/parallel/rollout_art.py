@@ -67,9 +67,11 @@ def art_mpc_config(**overrides) -> MpcConfig:
       (tests/test_mj_contact.py).
     - ``swing_td_damp = 8.0`` (round 3): touchdown-retraction damping —
       braking the swing foot's tangential velocity before impact removed
-      the MuJoCo chaotic-marginal walking branch entirely (4/4 perturbed
-      seeds walk 10 s vs 1/4 without; tools/sweep_mj.py) and is neutral
-      on the engine.
+      the MuJoCo chaotic-marginal walking branch (1/4 perturbed seeds
+      walked without it; with it + the sin^2 z profile, 10/10 seeds walk
+      10 s in-place and at 0.15 m/s — tools/sweep_mj10.py,
+      test_mj_contact.py::TestPerturbedRobustness) and is neutral on the
+      engine.
 
     This operating point was selected by TPU-batched stability-region
     sweeps (parallel/sweep.py: gains x commands x initial-state

