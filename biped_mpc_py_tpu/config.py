@@ -165,6 +165,15 @@ class MpcConfig:
     # sqrt(z_cmd/g)`` (1.0 = exact capture point; shoves to 0.5 m/s are
     # absorbed with zero falls).
     raibert_capture_gain: float = 0.0
+    # Scale on the Raibert feedforward term ``v * lookahead/2``
+    # (control/reference.py::_raibert_xy). 1.0 (default) = the
+    # reference's neutral-point placement. < 1 lands the feet BEHIND the
+    # neutral point, converting part of each stance into net push — a
+    # probe knob for the fast-band realized-speed ceiling (the bounded
+    # velocity-reference integrator saturates with NO speed gain there,
+    # so the binding constraint is placement geometry, not MPC force
+    # authority — tools/sweep_vint.py).
+    raibert_ff_scale: float = 1.0
     # Command-frame semantics (static: selects the reference-generation
     # trace). False (default) = the reference's WORLD-frame ``x_cmd``
     # (``bipedalLocomotionMPC.py:26``): velocity commands are fixed world
@@ -175,6 +184,22 @@ class MpcConfig:
     # foot placement rotates with the heading — walking turns track the
     # commanded rate (BASELINE config 3: turning and lateral stepping).
     cmd_body_frame: bool = struct.field(pytree_node=False, default=False)
+    # Velocity-command integral action (round 3; no reference analog).
+    # World-frame velocity commands re-anchor the position reference at
+    # the MEASURED pose every tick (reference ``:61-70`` semantics kept
+    # by com_reference), so the loop has zero position stiffness and the
+    # realized speed settles at command - drag/velocity-gain (measured:
+    # 0.59 realized at a 0.8 m/s command, 0.48 at 1.0 — the gap grows
+    # with touchdown losses). cmd_v_int_gain > 0 adds a bounded per-tick
+    # integrator on the xy velocity error that BOOSTS the velocity
+    # reference (controller.advance_v_int -> com_reference); clipped at
+    # +-cmd_v_int_max [m/s] for anti-windup (blocked/shoved robots stop
+    # accumulating). Applied only on axes with a nonzero command; 0
+    # (default) = reference behavior. Foot placement keeps using the RAW
+    # command (the Raibert error term already self-consistently pushes
+    # while v < cmd).
+    cmd_v_int_gain: float = 0.0
+    cmd_v_int_max: float = 0.4
     # --- solver settings (no reference analog; cvxopt defaults there) ---
     # number of ADMM iterations (static: unrolled/scanned at trace time)
     n_admm_iters: int = struct.field(pytree_node=False, default=60)

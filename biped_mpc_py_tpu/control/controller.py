@@ -36,6 +36,10 @@ class ControllerState:
     # the foot-heading channel in lowlevel.py both gate on it); in
     # world-frame command mode it is still advanced but read by nothing.
     cmd_ref: jnp.ndarray
+    # (2,) world-frame xy velocity-error integral [m/s] boosting the
+    # velocity reference (see MpcConfig.cmd_v_int_gain; zeros when the
+    # gain is 0 — the default/parity path).
+    v_int: jnp.ndarray
 
     @classmethod
     def init(cls, mpc: MpcConfig, dtype=jnp.float32) -> "ControllerState":
@@ -51,6 +55,7 @@ class ControllerState:
                 res_dual=jnp.asarray(0.0, dtype),
             ),
             cmd_ref=zero((3,), dtype),
+            v_int=zero((2,), dtype),
         )
 
 
@@ -94,6 +99,36 @@ def advance_cmd_ref(
     return ref + leak * (actual - ref)
 
 
+def advance_v_int(
+    v_int: jnp.ndarray, x_fb: jnp.ndarray, mpc: MpcConfig
+) -> jnp.ndarray:
+    """One-tick update of the xy velocity-error integrator (see
+    MpcConfig.cmd_v_int_gain). World-frame error; body-frame commands are
+    rotated by the measured yaw first. Axes with a zero command hold
+    integral 0 (position-hold mode already has stiffness there), and the
+    clip at cmd_v_int_max bounds windup."""
+    if mpc.cmd_body_frame:
+        yaw = x_fb[2]
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        vcx = c * mpc.x_cmd[9] - s * mpc.x_cmd[10]
+        vcy = s * mpc.x_cmd[9] + c * mpc.x_cmd[10]
+    else:
+        vcx, vcy = mpc.x_cmd[9], mpc.x_cmd[10]
+    v_cmd = jnp.stack([vcx, vcy])
+    err = v_cmd - x_fb[9:11]
+    nxt = jnp.clip(
+        v_int + mpc.cmd_v_int_gain * err,
+        -mpc.cmd_v_int_max, mpc.cmd_v_int_max,
+    )
+    if mpc.cmd_body_frame:
+        # heading rotation mixes the axes: gate both on any raw command
+        active = (mpc.x_cmd[9] != 0) | (mpc.x_cmd[10] != 0)
+        gate = jnp.broadcast_to(active, (2,))
+    else:
+        gate = mpc.x_cmd[9:11] != 0
+    return jnp.where(gate, nxt, jnp.zeros_like(nxt))
+
+
 def control_tick(
     x_fb: jnp.ndarray,
     q: jnp.ndarray,
@@ -121,12 +156,13 @@ def control_tick(
     contact = contact_sequence(t, mpc, gait)
     warm = None if ctrl_state is None else ctrl_state.qp
     cmd_ref = None if ctrl_state is None else ctrl_state.cmd_ref
+    v_int = None if ctrl_state is None else ctrl_state.v_int
     foot_yaw = (
         x_fb[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
     )
     sol = solve_mpc(
         x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait,
-        cmd_ref=cmd_ref, foot_yaw=foot_yaw,
+        cmd_ref=cmd_ref, foot_yaw=foot_yaw, v_int=v_int,
     )
     tau = low_level_control(
         x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
@@ -136,4 +172,8 @@ def control_tick(
         cmd_ref if cmd_ref is not None else jnp.zeros(3, x_fb.dtype),
         x_fb, mpc,
     )
-    return tau, ControllerState(qp=sol, cmd_ref=ref_next), sol
+    vi_next = advance_v_int(
+        v_int if v_int is not None else jnp.zeros(2, x_fb.dtype),
+        x_fb, mpc,
+    )
+    return tau, ControllerState(qp=sol, cmd_ref=ref_next, v_int=vi_next), sol

@@ -33,6 +33,7 @@ def build_mpc_qp(
     cmd_ref: jnp.ndarray | None = None,
     foot_yaw: jnp.ndarray | None = None,
     terrain=None,
+    v_int: jnp.ndarray | None = None,
 ) -> CondensedQp:
     """Assemble the condensed MPC QP for one tick (no solve).
 
@@ -51,7 +52,7 @@ def build_mpc_qp(
         z_ground = 0.5 * (
             terrain.height(foot[0], foot[1]) + terrain.height(foot[3], foot[4])
         )
-    x_ref = com_reference(x_fb, mpc, cmd_ref, z_ground=z_ground)
+    x_ref = com_reference(x_fb, mpc, cmd_ref, z_ground=z_ground, v_int=v_int)
     foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait, terrain)
     A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
     return condense(mpc, biped, x_fb, x_ref, A, B, contact, foot_yaw)
@@ -69,12 +70,14 @@ def solve_mpc(
     cmd_ref: jnp.ndarray | None = None,
     foot_yaw: jnp.ndarray | None = None,
     terrain=None,
+    v_int: jnp.ndarray | None = None,
 ) -> QpSolution:
     """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
     controls, ADMM iterates (reusable as next tick's warm start), and
     primal/dual residuals (the failure-detection signal the reference never
     checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
     qp = build_mpc_qp(
-        x_fb, t, foot, mpc, biped, contact, gait, cmd_ref, foot_yaw, terrain
+        x_fb, t, foot, mpc, biped, contact, gait, cmd_ref, foot_yaw, terrain,
+        v_int,
     )
     return solve_qp(qp, mpc, warm)

@@ -22,6 +22,7 @@ def com_reference(
     mpc: MpcConfig,
     cmd_ref: jnp.ndarray | None = None,
     z_ground: jnp.ndarray | float = 0.0,
+    v_int: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """CoM/state reference over the horizon -> (13, h).
 
@@ -69,11 +70,18 @@ def com_reference(
         ks = jnp.arange(h, dtype=x_fb.dtype)  # (h,)
     else:
         ks = jnp.arange(1, h + 1, dtype=x_fb.dtype)
-    v_cmd = mpc.x_cmd[6:12]  # (6,)
+    v_cmd_raw = mpc.x_cmd[6:12]  # (6,)
+    v_cmd = v_cmd_raw
+    if v_int is not None:
+        # integral boost of the xy velocity reference (see
+        # MpcConfig.cmd_v_int_gain / controller.advance_v_int); the
+        # integrate-vs-hold gating below stays on the RAW command so a
+        # zero-command axis keeps its position-hold stiffness
+        v_cmd = v_cmd.at[3:5].add(v_int)
     pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
     pose_cmd = mpc.x_cmd[:6].at[5].add(z_ground)
     pose_hold = jnp.broadcast_to(pose_cmd[:, None], (6, h))
-    pose = jnp.where(v_cmd[:, None] != 0, pose_int, pose_hold)
+    pose = jnp.where(v_cmd_raw[:, None] != 0, pose_int, pose_hold)
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
     if mpc.cmd_body_frame:
         dtk = ks * mpc.dt  # (h,)
@@ -119,7 +127,9 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
     coefficient becomes ``gain·sqrt(z_cmd/g)`` (capture point) instead —
     see config.py for the measured robustness difference.
     """
-    ff = 0.5 * lookahead  # reference's feedforward coefficient
+    # reference's feedforward coefficient; ff_scale < 1 shifts the
+    # landing behind the neutral point (see MpcConfig.raibert_ff_scale)
+    ff = 0.5 * lookahead * mpc.raibert_ff_scale
     if mpc.cmd_body_frame:
         # heading-frame velocity command rotated into the world by the
         # CURRENT yaw; velocity mode has no world p_cmd, so the kv

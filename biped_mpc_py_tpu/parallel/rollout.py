@@ -51,7 +51,8 @@ def init_world(mpc: MpcConfig, z0: float = 0.53) -> World:
     )
 
 
-def _finish_tick(sim_new, sol, cmd_ref, metrics, mpc: MpcConfig) -> World:
+def _finish_tick(sim_new, sol, cmd_ref, metrics, mpc: MpcConfig,
+                 v_int=None) -> World:
     """Per-env fall detection + in-batch auto reset + metrics update
     (shared by the single-env tick and the batched-solver tick; vmap for
     batches)."""
@@ -63,9 +64,11 @@ def _finish_tick(sim_new, sol, cmd_ref, metrics, mpc: MpcConfig) -> World:
         lambda r, s: jnp.where(fell, r, s), reset, sim_new
     )
     ctrl_reset = ControllerState.init(mpc, dtype=sim_new.x_fb.dtype)
+    if v_int is None:
+        v_int = jnp.zeros(2, sim_new.x_fb.dtype)
     ctrl_next = jax.tree.map(
         lambda r, s: jnp.where(fell, r, s), ctrl_reset,
-        ControllerState(qp=sol, cmd_ref=cmd_ref),
+        ControllerState(qp=sol, cmd_ref=cmd_ref, v_int=v_int),
     )
     metrics = metrics.update(
         sim_new.x_fb, mpc.x_cmd, sol.controls[0], sol.res_prim,
@@ -78,17 +81,20 @@ def closed_loop_tick(
     world: World, mpc: MpcConfig, gait: GaitConfig, biped: BipedParams
 ) -> World:
     """One fused sim+MPC tick on the SRB abstraction."""
-    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+    from biped_mpc_py_tpu.control.controller import (
+        advance_cmd_ref, advance_v_int,
+    )
 
     sim = world.sim
     contact = contact_sequence(sim.t, mpc, gait)
     sol = solve_mpc(
         sim.x_fb, sim.t, sim.foot, mpc, biped, contact, warm=world.ctrl.qp,
-        gait=gait, cmd_ref=world.ctrl.cmd_ref,
+        gait=gait, cmd_ref=world.ctrl.cmd_ref, v_int=world.ctrl.v_int,
     )
     sim_new = srb_step(sim, sol.controls[0], mpc, gait, biped)
     ref_next = advance_cmd_ref(world.ctrl.cmd_ref, sim.x_fb, mpc)
-    return _finish_tick(sim_new, sol, ref_next, world.metrics, mpc)
+    vi_next = advance_v_int(world.ctrl.v_int, sim.x_fb, mpc)
+    return _finish_tick(sim_new, sol, ref_next, world.metrics, mpc, vi_next)
 
 
 def batched_closed_loop_tick(
@@ -108,13 +114,18 @@ def batched_closed_loop_tick(
     factorization that dominates the tick (docs/DESIGN_NOTES.md perf table).
     Backend agreement is pinned by tests/test_qp_kernel.py.
     """
-    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+    from biped_mpc_py_tpu.control.controller import (
+        advance_cmd_ref, advance_v_int,
+    )
 
     sim = world.sim
     contact = jax.vmap(lambda t: contact_sequence(t, mpc, gait))(sim.t)
     qp = jax.vmap(
-        lambda x, t, f, b, c, r: build_mpc_qp(x, t, f, mpc, b, c, gait, r)
-    )(sim.x_fb, sim.t, sim.foot, biped, contact, world.ctrl.cmd_ref)
+        lambda x, t, f, b, c, r, vi: build_mpc_qp(
+            x, t, f, mpc, b, c, gait, r, v_int=vi
+        )
+    )(sim.x_fb, sim.t, sim.foot, biped, contact, world.ctrl.cmd_ref,
+      world.ctrl.v_int)
     sol = solve_qp_batch(
         qp, mpc, warm=world.ctrl.qp, backend=backend, block_envs=block_envs
     )
@@ -124,9 +135,12 @@ def batched_closed_loop_tick(
     ref_next = jax.vmap(lambda r, x: advance_cmd_ref(r, x, mpc))(
         world.ctrl.cmd_ref, sim.x_fb
     )
-    return jax.vmap(lambda s, so, r, m: _finish_tick(s, so, r, m, mpc))(
-        sim_new, sol, ref_next, world.metrics
+    vi_next = jax.vmap(lambda v, x: advance_v_int(v, x, mpc))(
+        world.ctrl.v_int, sim.x_fb
     )
+    return jax.vmap(
+        lambda s, so, r, m, vi: _finish_tick(s, so, r, m, mpc, vi)
+    )(sim_new, sol, ref_next, world.metrics, vi_next)
 
 
 def rollout_fn(n_steps: int, mpc: MpcConfig, gait: GaitConfig):

@@ -204,7 +204,7 @@ def art_closed_loop_tick(
     sol = solve_mpc(
         x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
         gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
-        terrain=terrain,
+        terrain=terrain, v_int=world.ctrl.v_int,
     )
     u0 = sol.controls[0]
 
@@ -240,13 +240,16 @@ def art_closed_loop_tick(
     reset = ArtState.standing(dtype=sim.q.dtype)
     reset = dataclasses.replace(reset, t=sim_new.t)
     sim_next = jax.tree.map(lambda r, s: jnp.where(fell, r, s), reset, sim_new)
-    from biped_mpc_py_tpu.control.controller import advance_cmd_ref
+    from biped_mpc_py_tpu.control.controller import (
+        advance_cmd_ref, advance_v_int,
+    )
 
     ref_next = advance_cmd_ref(world.ctrl.cmd_ref, x_fb, mpc)
+    vi_next = advance_v_int(world.ctrl.v_int, x_fb, mpc)
     ctrl_reset = ControllerState.init(mpc, dtype=sim.q.dtype)
     ctrl_next = jax.tree.map(
         lambda r, s: jnp.where(fell, r, s), ctrl_reset,
-        ControllerState(qp=sol, cmd_ref=ref_next),
+        ControllerState(qp=sol, cmd_ref=ref_next, v_int=vi_next),
     )
     metrics = world.metrics.update(
         sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)

@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
-from biped_mpc_py_tpu.control.controller import ControllerState, advance_cmd_ref
+from biped_mpc_py_tpu.control.controller import (
+    ControllerState,
+    advance_cmd_ref,
+    advance_v_int,
+)
 from biped_mpc_py_tpu.control.gait import contact_sequence
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
@@ -87,8 +91,9 @@ class RealtimeLoop:
         self.gait = gait
         self.n_lowlevel = n_lowlevel
         self._solve = jax.jit(
-            lambda x, t, pf, c, w, r: solve_mpc(
-                x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r
+            lambda x, t, pf, c, w, r, vi: solve_mpc(
+                x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
+                v_int=vi,
             )
         )
         self._lowlevel = jax.jit(
@@ -99,6 +104,9 @@ class RealtimeLoop:
         self._advance_ref = jax.jit(
             lambda r, x: advance_cmd_ref(r, x, mpc)
         )
+        self._advance_vi = jax.jit(
+            lambda v, x: advance_v_int(v, x, mpc)
+        )
         self.ctrl = ControllerState.init(mpc)
 
     def warmup(self, plant: Plant) -> None:
@@ -108,7 +116,7 @@ class RealtimeLoop:
         c = contact_sequence(0.0, self.mpc, self.gait)
         sol = self._solve(
             jnp.asarray(x_fb, jnp.float32), 0.0, jnp.asarray(pf, jnp.float32),
-            c, self.ctrl.qp, self.ctrl.cmd_ref,
+            c, self.ctrl.qp, self.ctrl.cmd_ref, self.ctrl.v_int,
         )
         tau = self._lowlevel(
             jnp.asarray(x_fb, jnp.float32), 0.0, jnp.asarray(pf, jnp.float32),
@@ -145,10 +153,12 @@ class RealtimeLoop:
             pf_j = jnp.asarray(pf, jnp.float32)
             contact = contact_sequence(t_sim, mpc, gait)
             sol = self._solve(
-                x_j, t_sim, pf_j, contact, self.ctrl.qp, self.ctrl.cmd_ref
+                x_j, t_sim, pf_j, contact, self.ctrl.qp, self.ctrl.cmd_ref,
+                self.ctrl.v_int,
             )
             self.ctrl = ControllerState(
-                qp=sol, cmd_ref=self._advance_ref(self.ctrl.cmd_ref, x_j)
+                qp=sol, cmd_ref=self._advance_ref(self.ctrl.cmd_ref, x_j),
+                v_int=self._advance_vi(self.ctrl.v_int, x_j),
             )
             u0 = sol.controls[0]
             for j in range(self.n_lowlevel):

@@ -23,6 +23,7 @@ from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.controller import (
     ControllerState,
     advance_cmd_ref,
+    advance_v_int,
 )
 from biped_mpc_py_tpu.control.gait import contact_sequence
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
@@ -110,11 +111,11 @@ def run_mujoco_closed_loop(
 
     fb = jax.jit(lambda s: feedback_and_soles(model, s))
 
-    def _solve(x, t, pf, c, w, r, q):
+    def _solve(x, t, pf, c, w, r, q, vi):
         fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
         return solve_mpc(
             x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
-            foot_yaw=fy,
+            foot_yaw=fy, v_int=vi,
         )
 
     solve = jax.jit(_solve)
@@ -130,9 +131,12 @@ def run_mujoco_closed_loop(
         s = state_from_mj(d, t)
         x_fb, pf_w = fb(s)
         contact = contact_sequence(t, mpc, gait)
-        sol = solve(x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q)
+        sol = solve(
+            x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q, ctrl.v_int
+        )
         ctrl = ControllerState(
-            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc)
+            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
+            v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
         )
         f_acc = np.zeros(2)
         for _ in range(N_LL):
