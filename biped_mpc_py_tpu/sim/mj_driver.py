@@ -84,11 +84,15 @@ def run_mujoco_closed_loop(
     biped: BipedParams | None = None,
     dq0: np.ndarray | None = None,
     fall_z: float = 0.25,
+    shove: tuple | None = None,
 ):
     """Closed loop in MuJoCo under the framework controller.
 
     dq0: optional (10,) initial joint-angle perturbation (the robustness
     probe axis, matching parallel/sweep.py::perturbed_worlds).
+    shove: optional ``(tick, dvx, dvy)`` — add a base-velocity impulse
+    [m/s] at the START of the given MPC tick (BASELINE config 4's
+    push-recovery probe, matching the engine tests' velocity shove).
 
     Returns (per-tick per-foot forces (n,2), per-tick feedback states
     (n,12), fell).
@@ -127,7 +131,12 @@ def run_mujoco_closed_loop(
     ctrl = ControllerState.init(mpc)
     forces, xs = [], []
     t = 0.0
-    for _ in range(n_ticks):
+    for k in range(n_ticks):
+        if shove is not None and k == shove[0]:
+            # world-frame base-velocity impulse (MuJoCo free-joint linear
+            # qvel is world-frame)
+            d.qvel[0] += shove[1]
+            d.qvel[1] += shove[2]
         s = state_from_mj(d, t)
         x_fb, pf_w = fb(s)
         contact = contact_sequence(t, mpc, gait)

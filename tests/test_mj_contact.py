@@ -258,3 +258,43 @@ class TestTurningTransfer:
         assert rate_mj > 0.24, rate_mj
         assert rate_fw > 0.24, rate_fw
         assert abs(rate_mj - rate_fw) < 0.05, (rate_mj, rate_fw)
+
+
+class TestLateralTransfer:
+    """BASELINE config 3's lateral half under stick friction (round 3):
+    a sustained 0.15 m/s lateral command walks 5/5 perturbed seeds in
+    MuJoCo with the SAME displacement as the engine (0.86-0.91 m vs
+    0.89 m in 10 s — tools/sweep_mj_lat.py). Pins 3 MuJoCo seeds at the
+    stick-physical oracle point and the displacement-agreement band vs
+    the engine at ITS physical operating point (tau_z_max 8 vs 4 — the
+    documented compliant-vs-stick yaw-couple split; the engine falls at
+    tz=4 on sustained velocity commands)."""
+
+    def test_mujoco_lateral_015_matches_engine(self):
+        from biped_mpc_py_tpu.sim.engine import com_feedback_state
+
+        x_cmd = jnp.zeros(12).at[5].set(0.55).at[10].set(0.15)
+        gait = GaitConfig(4)
+        mpc_mj = art_mpc_config(x_cmd=x_cmd, **ORACLE_MPC)
+        ys = []
+        for seed in range(3):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, xs, fell = run_mujoco_closed_loop(
+                mpc_mj, gait, 250, model=MODEL, biped=BIPED, dq0=dq
+            )
+            assert not fell, f"MuJoCo lateral fell (seed {seed})"
+            ys.append(xs[-1, 4])
+        y_mj = float(np.mean(ys))
+
+        mpc_fw = art_mpc_config(x_cmd=x_cmd)  # engine defaults (tz=8)
+        tick = jax.jit(
+            lambda w: art_closed_loop_tick(w, mpc_fw, gait, BIPED, MODEL)
+        )
+        w = init_art_world(mpc_fw)
+        for _ in range(250):
+            w = tick(w)
+        assert float(w.metrics.falls) == 0
+        y_fw = float(com_feedback_state(MODEL, w.sim)[4])
+        assert y_mj > 0.6, y_mj
+        assert y_fw > 0.6, y_fw
+        assert abs(y_mj - y_fw) < 0.25, (y_mj, y_fw)
