@@ -31,7 +31,11 @@ from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.ops.rotations import quat_to_rotm
 from biped_mpc_py_tpu.sim.engine import ArtState, feedback_and_soles
-from biped_mpc_py_tpu.sim.mjcf import penalty_matched_solref, to_mjcf
+from biped_mpc_py_tpu.sim.mjcf import (
+    penalty_matched_solref,
+    set_hfield_data,
+    to_mjcf,
+)
 from biped_mpc_py_tpu.sim.model import ArticulatedModel, hector_model
 
 MJ_DT = 5e-4
@@ -85,6 +89,7 @@ def run_mujoco_closed_loop(
     dq0: np.ndarray | None = None,
     fall_z: float = 0.25,
     shove: tuple | None = None,
+    terrain=None,
 ):
     """Closed loop in MuJoCo under the framework controller.
 
@@ -93,6 +98,9 @@ def run_mujoco_closed_loop(
     shove: optional ``(tick, dvx, dvy)`` — add a base-velocity impulse
     [m/s] at the START of the given MPC tick (BASELINE config 4's
     push-recovery probe, matching the engine tests' velocity shove).
+    terrain: optional :class:`~biped_mpc_py_tpu.sim.contact.Terrain` —
+    the MuJoCo floor becomes the SAME height field the controller's
+    terrain-adaptive references read (BASELINE config 4 cross-sim).
 
     Returns (per-tick per-foot forces (n,2), per-tick feedback states
     (n,12), fell).
@@ -101,10 +109,16 @@ def run_mujoco_closed_loop(
 
     model = model or hector_model()
     biped = biped or BipedParams()
+    # on height fields the sphere radius must exceed the penalty-matched
+    # contact law's max penetration (see mjcf.to_mjcf sphere_r docs)
+    sphere_r = 0.02 if terrain is not None else 0.005
     m = mujoco.MjModel.from_xml_string(
         to_mjcf(model, MJ_DT, contact=True,
-                solref=penalty_matched_solref(model))
+                solref=penalty_matched_solref(model), terrain=terrain,
+                sphere_r=sphere_r)
     )
+    if terrain is not None:
+        set_hfield_data(m, terrain)
     d = mujoco.MjData(m)
     s0 = ArtState.standing()
     d.qpos[0:3] = np.array(s0.pos)
@@ -119,13 +133,14 @@ def run_mujoco_closed_loop(
         fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
         return solve_mpc(
             x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
-            foot_yaw=fy, v_int=vi,
+            foot_yaw=fy, v_int=vi, terrain=terrain,
         )
 
     solve = jax.jit(_solve)
     lowlvl = jax.jit(
         lambda x, t, pf, q, qd, c, u0, r: low_level_control(
-            x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r
+            x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r,
+            terrain=terrain,
         )
     )
     ctrl = ControllerState.init(mpc)

@@ -49,11 +49,32 @@ def penalty_matched_solref(model: ArticulatedModel, m_eff: float = 3.0) -> str:
     return f"{1.0 / omega:.6g} {d / (2.0 * (k * m_eff) ** 0.5):.6g}"
 
 
+def set_hfield_data(m, terrain) -> None:
+    """Fill a loaded MjModel's hfield with a Terrain's grid.
+
+    MuJoCo's hfield storage is (nrow, ncol) row-major with row -> y
+    bottom-up and col -> x — the SAME indexing as
+    :class:`~biped_mpc_py_tpu.sim.contact.Terrain.heights` (verified by
+    ray-probing a single-bump field). Data is normalized to [0, 1];
+    ``to_mjcf`` sets hfield size_z = hmax - hmin and the floor geom
+    z = hmin - CONTACT_SPHERE_R so the MuJoCo surface reproduces
+    ``terrain.height(x, y)`` at the same activation offset as the flat
+    plane. (MuJoCo triangulates the grid; the engine samples it
+    bilinearly — identical at nodes, sub-cell interpolation differs.)
+    """
+    h = np.asarray(terrain.heights, np.float64)
+    hmin, hmax = float(h.min()), float(h.max())
+    sz = max(hmax - hmin, 1e-9)
+    m.hfield_data[:] = ((h - hmin) / sz).ravel()
+
+
 def to_mjcf(
     model: ArticulatedModel,
     timestep: float = 1e-4,
     contact: bool = False,
     solref: str = "",
+    terrain=None,
+    sphere_r: float = CONTACT_SPHERE_R,
 ) -> str:
     """MJCF XML string of the model.
 
@@ -68,6 +89,21 @@ def to_mjcf(
     solver parameters and the fidelity comparison is behavioral (forces and
     trajectories of the SAME controller closed-loop in both simulators,
     tests/test_sim.py) rather than parameter-matched.
+
+    terrain: optional :class:`~biped_mpc_py_tpu.sim.contact.Terrain` —
+    the floor becomes a height-field geom reproducing the engine's rough
+    ground (BASELINE config 4 cross-sim); call :func:`set_hfield_data`
+    on the loaded MjModel to fill the grid (inline MJCF elevation data
+    is re-ordered/re-normalized by the compiler, so the data rides the
+    model, not the XML).
+
+    sphere_r: contact-sphere radius. The default 5 mm matches the plane
+    oracle geometry; on HEIGHT FIELDS it MUST exceed the contact law's
+    maximum penetration (the penalty-matched softness reaches 6-15 mm
+    at touchdown/stance): a sphere center passing below the triangulated
+    top surface wedges in MuJoCo's prism collider (measured: 1.7 kN
+    garbage side-contacts with dist clamped at -r). The floor offset
+    rides the same radius, so the activation surface is unchanged.
     """
     mass = np.asarray(model.mass)
     com = np.asarray(model.com)
@@ -121,7 +157,7 @@ def to_mjcf(
                 p = cpts[2 * foot_idx + k]
                 lines.append(
                     f'{indent}  <geom name="{name}_{label}" type="sphere" '
-                    f'size="{CONTACT_SPHERE_R}" pos="{_fmt(p)}" '
+                    f'size="{sphere_r:.9g}" pos="{_fmt(p)}" '
                     f'friction="{mu:.9g} 0.005 0.0001" '
                     f'contype="1" conaffinity="1"{sr}/>'
                 )
@@ -131,17 +167,37 @@ def to_mjcf(
         lines.append(f"{indent}</body>")
         return "\n".join(lines)
 
-    floor = (
-        f'    <geom name="floor" type="plane" size="20 20 0.1" '
-        f'pos="0 0 {-CONTACT_SPHERE_R}" friction="{mu:.9g} 0.005 0.0001" '
-        f'contype="1" conaffinity="1"/>\n'
-        if contact
-        else ""
-    )
+    asset = ""
+    if not contact:
+        floor = ""
+    elif terrain is None:
+        floor = (
+            f'    <geom name="floor" type="plane" size="20 20 0.1" '
+            f'pos="0 0 {-sphere_r:.9g}" '
+            f'friction="{mu:.9g} 0.005 0.0001" '
+            f'contype="1" conaffinity="1"/>\n'
+        )
+    else:
+        h = np.asarray(terrain.heights, np.float64)
+        nrow, ncol = h.shape
+        ext = float(terrain.extent)
+        hmin = float(h.min())
+        sz = max(float(h.max()) - hmin, 1e-9)
+        asset = (
+            f'  <asset>\n    <hfield name="terrain" nrow="{nrow}" '
+            f'ncol="{ncol}" size="{ext / 2:.9g} {ext / 2:.9g} {sz:.9g} '
+            f'0.5"/>\n  </asset>\n'
+        )
+        floor = (
+            f'    <geom name="floor" type="hfield" hfield="terrain" '
+            f'pos="0 0 {hmin - sphere_r:.9g}" '
+            f'friction="{mu:.9g} 0.005 0.0001" '
+            f'contype="1" conaffinity="1"/>\n'
+        )
     return f"""<mujoco model="hector_tpu">
   <option timestep="{timestep}" gravity="0 0 -9.81"/>
   <compiler inertiafromgeom="false" angle="radian"/>
-  <worldbody>
+{asset}  <worldbody>
 {floor}{body_xml(TORSO, "    ")}
   </worldbody>
 </mujoco>

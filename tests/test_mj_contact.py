@@ -327,3 +327,35 @@ class TestPushTransfer:
                     dq0=dq, shove=(50, dvx, dvy),
                 )
                 assert not fell, (dvx, dvy, seed)
+
+
+class TestTerrainTransfer:
+    """BASELINE config 4's rough-terrain half under stick friction
+    (round 3): the engine's height field exported as a MuJoCo hfield
+    (sim/mjcf.py::to_mjcf terrain + set_hfield_data), the SAME
+    terrain-adaptive references driving both sims. Battery
+    (tools/sweep_mj_terrain.py, random field + joint perturbation per
+    seed): 3 cm amplitude walks 4/4 in-place AND at 0.15 m/s; 4 cm is
+    marginal (2/4; the engine does 8/8 — its compliant contact forgives
+    bump impacts stick friction does not). Requires the enlarged 2 cm
+    contact spheres: the penalty-matched soft contact penetrates past a
+    5 mm sphere's center at touchdown and WEDGES in MuJoCo's hfield
+    prism collider (1.7 kN garbage side-contacts — the round-3 terrain
+    block, see mjcf.py sphere_r docs)."""
+
+    def test_mujoco_3cm_terrain_10s(self):
+        from biped_mpc_py_tpu.sim.contact import Terrain
+
+        for vx, gait in ((0.0, GaitConfig()), (0.15, GaitConfig(4))):
+            x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(vx)
+            mpc = art_mpc_config(x_cmd=x_cmd, **ORACLE_MPC)
+            for seed in range(2):
+                terr = Terrain.rough(
+                    jax.random.PRNGKey(100 + seed), amplitude=0.03
+                )
+                dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+                _, _, fell = run_mujoco_closed_loop(
+                    mpc, gait, 250, model=MODEL, biped=BIPED, dq0=dq,
+                    terrain=terr,
+                )
+                assert not fell, (vx, seed)
