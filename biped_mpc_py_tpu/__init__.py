@@ -61,6 +61,16 @@ def __getattr__(name):
         ),
         "solve_qp_batch": ("biped_mpc_py_tpu.ops.qp", "solve_qp_batch"),
         "ns_inverse": ("biped_mpc_py_tpu.ops.qp", "ns_inverse"),
+        "art_config_for_speed": (
+            "biped_mpc_py_tpu.parallel.rollout_art", "art_config_for_speed",
+        ),
+        "art_config_for_turn": (
+            "biped_mpc_py_tpu.parallel.rollout_art", "art_config_for_turn",
+        ),
+        "Terrain": ("biped_mpc_py_tpu.sim.contact", "Terrain"),
+        "run_mujoco_closed_loop": (
+            "biped_mpc_py_tpu.sim.mj_driver", "run_mujoco_closed_loop",
+        ),
     }
     if name in lazy:
         import importlib
@@ -89,5 +99,9 @@ __all__ = [
     "rollout_fn",
     "art_rollout_fn",
     "art_mpc_config",
+    "art_config_for_speed",
+    "art_config_for_turn",
+    "Terrain",
+    "run_mujoco_closed_loop",
     "__version__",
 ]

@@ -22,7 +22,7 @@ from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
 from biped_mpc_py_tpu.models.kinematics import foot_positions_world
-from biped_mpc_py_tpu.ops.qp import M_STEP, QpSolution
+from biped_mpc_py_tpu.ops.qp import QpSolution, m_step
 
 
 @struct.dataclass
@@ -49,8 +49,8 @@ class ControllerState:
             qp=QpSolution(
                 controls=zero((h, 12), dtype),
                 states=zero((h, 13), dtype),
-                z=zero((h, M_STEP), dtype),
-                y=zero((h, M_STEP), dtype),
+                z=zero((h, m_step(mpc)), dtype),
+                y=zero((h, m_step(mpc)), dtype),
                 res_prim=jnp.asarray(0.0, dtype),
                 res_dual=jnp.asarray(0.0, dtype),
             ),

@@ -17,9 +17,10 @@ WHOLE solve for a block of envs inside VMEM, in one launch:
   then (optional) active-set polish: K_pol inverse by the same NS, 3
   augmented-Lagrangian steps, exact-penalty merit accept/reject.
 
-Shapes are padded to the 128-lane tile: n=120 -> 128 variables, m=280 -> 384
-constraint rows (28 rows/step incl. the torsional-cone extension,
-ops/qp.py::M_STEP); padding rows/cols carry identity/free bounds so the math
+Shapes are padded to the 128-lane tile: n=120 -> 128 variables, constraint
+rows to the next multiple of 128 (m=240 -> 256 at the 24-row reference
+semantics; m=280 -> 384 with the torsional-cone extension, see
+ops/qp.py::m_step); padding rows/cols carry identity/free bounds so the math
 is exact. All reductions keep 2-D (B, 1) shapes — rank-1 (B,) intermediates
 crash this toolchain's Mosaic relayout pass.
 
@@ -41,8 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_PAD = 128  # padded variable count (real: 120)
-M_PAD = 384  # padded constraint rows (real: 280 = 10 steps x M_STEP(28))
-M_REAL = 280  # real constraint rows (lane index >= M_REAL is padding)
+# Constraint rows pad to the next lane multiple of 128 from the INPUT
+# shape: 240 real rows (10 steps x 24, mu_z off — the reference-semantics
+# default) -> 256; 280 (x28 with the torsional cone) -> 384. Building the
+# smaller problem when the cone is disabled is worth ~4% single-env
+# latency (ops/qp.py::m_step).
 EQ_RHO_BOOST = 1e3  # rho multiplier on (near-)equality rows, as in OSQP
 
 
@@ -94,11 +98,11 @@ def _qp_kernel(
     P_ref, A_ref, q_ref, l_ref, u_ref, eq_ref, rho0_ref, x0_ref, z0_ref,
     y0_ref, x_out, z_out, y_out,
     *, n_iters: int, n_phases: int, ns_iters: int, sigma: float,
-    alpha: float, polish: bool,
+    alpha: float, polish: bool, m_real: int,
 ):
     """One grid step = one block of envs, everything resident in VMEM.
 
-    Block shapes: P (B,128,128), A (B,256,128); every vector operand ships
+    Block shapes: P (B,128,128), A (B,M_PAD,128); every vector operand ships
     as (B,1,PAD) — Pallas TPU requires 2-D block sublane dims divisible by
     8, the middle singleton sidesteps that for any block_envs — and is
     squeezed on load. eq is the {0,1} mask of (near-)equality rows; rho0
@@ -124,10 +128,10 @@ def _qp_kernel(
 
     iters_per_phase = max(1, n_iters // n_phases)
     for p in range(n_phases):
-        rho = jnp.where(eq > 0.5, EQ_RHO_BOOST * rho_s, rho_s)  # (B,256)
+        rho = jnp.where(eq > 0.5, EQ_RHO_BOOST * rho_s, rho_s)  # (B,M_PAD)
         # padding rows: rho = 1 so K's padding stays identity-dominated
         is_pad = (
-            jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1) >= M_REAL
+            jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1) >= m_real
         ).astype(f32)
         rho = rho * (1.0 - is_pad) + is_pad
         inv_rho = 1.0 / rho
@@ -250,13 +254,13 @@ def _qp_kernel(
 )
 def fused_qp_solve(
     P: jnp.ndarray,  # (N,120,120) scaled Hessian
-    A: jnp.ndarray,  # (N,280,120) scaled stacked constraint matrix
+    A: jnp.ndarray,  # (N,m,120) scaled stacked constraint matrix (m = h*m_step)
     q: jnp.ndarray,  # (N,120)
-    l: jnp.ndarray,  # (N,280)
-    u: jnp.ndarray,  # (N,280)
+    l: jnp.ndarray,  # (N,m)
+    u: jnp.ndarray,  # (N,m)
     x0: jnp.ndarray,  # (N,120)
-    z0: jnp.ndarray,  # (N,280)
-    y0: jnp.ndarray,  # (N,280)
+    z0: jnp.ndarray,  # (N,m)
+    y0: jnp.ndarray,  # (N,m)
     rho: float = 0.3,
     n_iters: int = 60,
     n_phases: int = 3,
@@ -270,7 +274,7 @@ def fused_qp_solve(
     """Solve a batch of Ruiz-scaled box-QPs with the fused kernel.
 
     The (near-)equality rows (u - l < 1e-6) get the OSQP 1e3 rho boost, as
-    in ops/qp.py. Returns (x (N,120), z (N,280), y (N,280)) — scaled space.
+    in ops/qp.py. Returns (x (N,120), z (N,m), y (N,m)) — scaled space.
 
     ``block_envs=4`` is the largest hardware-safe block: the kernel scopes
     ~11.4 MB of VMEM per env pair at the MPC problem size, so block 8
@@ -279,6 +283,7 @@ def fused_qp_solve(
     """
     N = P.shape[0]
     n, m = P.shape[1], A.shape[1]
+    M_PAD = -(-m // 128) * 128  # next lane multiple (see module docstring)
     assert N % block_envs == 0, (N, block_envs)
     f32 = jnp.float32
 
@@ -312,7 +317,7 @@ def fused_qp_solve(
     )
     kernel = functools.partial(
         _qp_kernel, n_iters=n_iters, n_phases=n_phases, ns_iters=ns_iters,
-        sigma=sigma, alpha=alpha, polish=polish,
+        sigma=sigma, alpha=alpha, polish=polish, m_real=m,
     )
     x, z, y = pl.pallas_call(
         kernel,

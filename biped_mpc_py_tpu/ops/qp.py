@@ -12,17 +12,18 @@ This module does it the TPU way:
    touches only the controls (the state columns of A_mu/A_f/A_LF are all
    zero, ``:231,237,267``), and the equalities are exactly the dynamics — so
    eliminating the states via ``X = Sx·x0 + Su·U`` is an *exact* reformulation:
-   a 120-variable strictly-convex dense QP whose 280 constraint rows are
+   a 120-variable strictly-convex dense QP whose 240 (280 with the
+   torsional cone, see :func:`m_step`) constraint rows are
    block-diagonal per horizon step. Small dense matrices are what the MXU
    eats.
 
 2. **Box/two-sided rows**. The reference encodes box bounds as 24 one-sided
    rows per step (``:234-251``); we use 12 two-sided rows ``l_k <= u_k <=
    u_k`` (OSQP form), halving the constraint block: per step
-   ``A_step (28,12) = [friction(8); I12; line-foot(4); torsional(4)]``,
-   identical across steps — only the bounds vary with contact. (The
-   torsional-cone rows are a framework extension over the reference — see
-   :func:`torsional_rows`.)
+   ``A_step (m_step,12) = [friction(8); I12; line-foot(4); torsional(4 —
+   only when mpc.mu_z is set)]``, identical across steps — only the
+   bounds vary with contact. (The torsional-cone rows are a framework
+   extension over the reference — see :func:`torsional_rows`.)
 
 3. **ADMM (BoxOSQP-style) solve** (:func:`solve_qp`). The KKT matrix
    ``K = P + sigma·I + rho·blkdiag(A_stepᵀA_step)`` is inverted ONCE per tick
@@ -53,9 +54,9 @@ class CondensedQp:
 
     P: jnp.ndarray  # (120,120) cost Hessian (strictly PD)
     q: jnp.ndarray  # (120,)
-    A_step: jnp.ndarray  # (28,12) per-step constraint rows (M_STEP)
-    l: jnp.ndarray  # (h,28) lower bounds
-    u: jnp.ndarray  # (h,28) upper bounds
+    A_step: jnp.ndarray  # (m_step,12) per-step constraint rows
+    l: jnp.ndarray  # (h,m_step) lower bounds
+    u: jnp.ndarray  # (h,m_step) upper bounds
     Sx: jnp.ndarray  # (h,13,13) free response maps
     Su: jnp.ndarray  # (h,13,12h) forced response map
     x0: jnp.ndarray  # (13,) initial augmented state
@@ -67,8 +68,8 @@ class QpSolution:
 
     controls: jnp.ndarray  # (h,12)
     states: jnp.ndarray  # (h,13)
-    z: jnp.ndarray  # (h,28) constraint-space iterate
-    y: jnp.ndarray  # (h,28) dual iterate
+    z: jnp.ndarray  # (h,m_step) constraint-space iterate
+    y: jnp.ndarray  # (h,m_step) dual iterate
     res_prim: jnp.ndarray  # scalar, ||A u - z||_inf
     res_dual: jnp.ndarray  # scalar, ||P u + q + A^T y||_inf
 
@@ -90,8 +91,21 @@ def friction_rows(mu) -> jnp.ndarray:
     return F
 
 
-M_STEP = 28  # constraint rows per horizon step: friction 8 + box 12 +
-#              line-foot 4 + torsional cone 4
+M_STEP = 28  # MAX constraint rows per horizon step: friction 8 + box 12 +
+#              line-foot 4 + torsional cone 4 (see m_step for the
+#              config-dependent count)
+
+
+def m_step(mpc: MpcConfig) -> int:
+    """Constraint rows per horizon step for this config (STATIC — mu_z is
+    a non-pytree field, so this is a trace-time Python branch): 24
+    reference-semantics rows, +4 torsional-cone rows when ``mpc.mu_z``
+    is set. Disabled configs build the smaller problem outright rather
+    than carrying all-zero/free rows: the fused kernel pads rows to a
+    lane multiple of 128, so 24x10 = 240 fits the 256 pad while
+    28x10 = 280 forces 384 (+50% row work, measured ~4% single-env
+    latency — 0.389 -> 0.403 ms/tick)."""
+    return 28 if mpc.mu_z is not None else 24
 
 
 def torsional_rows(mpc: MpcConfig) -> jnp.ndarray:
@@ -108,13 +122,13 @@ def torsional_rows(mpc: MpcConfig) -> jnp.ndarray:
     (touchdown/liftoff) is never commanded a couple it cannot react — the
     QP shifts yaw authority to foot placement instead.
 
-    ``mpc.mu_z=None`` (reference semantics) returns ALL-ZERO rows — with
-    free bounds these contribute exactly nothing to the KKT or the
-    iterates, so the problem is bit-identical to the 24-row form.
+    Only called when ``mpc.mu_z`` is set: disabled configs build the
+    24-row problem without these rows at all (see :func:`m_step` —
+    all-zero/free rows would be numerically identical but cost kernel
+    padding; the equivalence is pinned by
+    test_qp.py::test_torsional_cone_disabled_is_bit_identical).
     """
     Z = jnp.zeros((4, 12), jnp.float32)
-    if mpc.mu_z is None:
-        return Z
     mz = jnp.asarray(mpc.mu_z, jnp.float32)
     # u layout: [f_L(0:3), f_R(3:6), m_L(6:9), m_R(9:12)]
     for foot, (fz, mzc) in enumerate(((2, 8), (5, 11))):
@@ -175,14 +189,14 @@ def line_foot_rows(
 
 
 def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
-    """Per-step bounds (l, u), each (h, 28), contact-gated.
+    """Per-step bounds (l, u), each (h, m_step(mpc)), contact-gated.
 
     Rows 0:8 friction (one-sided <= 0), 8:20 box on u (two-sided, reference
     ``:239-250``), 20:24 line-foot (one-sided <= 0), 24:28 torsional cone
-    (one-sided <= 0 when mpc.mu_z is set, free otherwise — see
-    :func:`torsional_rows`). Swing feet get [0, 0] boxes (f_min = 0, tau
-    scaled to 0), pinning their wrench to zero exactly as the reference's
-    gated bounds do.
+    (one-sided <= 0; present only when mpc.mu_z is set — see
+    :func:`torsional_rows` / :func:`m_step`). Swing feet get [0, 0] boxes
+    (f_min = 0, tau scaled to 0), pinning their wrench to zero exactly as
+    the reference's gated bounds do.
 
     Force lower bound: corrected semantics bound only f_z below (horizontal
     components are governed by the friction pyramid); set
@@ -220,15 +234,14 @@ def constraint_bounds(mpc: MpcConfig, biped: BipedParams, contact: jnp.ndarray):
         axis=1,
     )
     ones = jnp.ones((h, 8), ub_box.dtype)
-    # torsional-cone rows: one-sided <= 0 when enabled; FREE when mu_z is
-    # None (the rows are all-zero then — exactly the 24-row problem)
-    tz_hi = 0.0 * ones[:, :4] if mpc.mu_z is not None else _BIG * ones[:, :4]
-    l = jnp.concatenate(
-        [-_BIG * ones, lb_box, -_BIG * ones[:, :4], -_BIG * ones[:, :4]],
-        axis=1,
-    )
-    u = jnp.concatenate([0.0 * ones, ub_box, 0.0 * ones[:, :4], tz_hi], axis=1)
-    return l, u
+    l_parts = [-_BIG * ones, lb_box, -_BIG * ones[:, :4]]
+    u_parts = [0.0 * ones, ub_box, 0.0 * ones[:, :4]]
+    if mpc.mu_z is not None:
+        # torsional-cone rows (one-sided <= 0); omitted entirely when
+        # mu_z is None — the 24-row reference problem (see m_step)
+        l_parts.append(-_BIG * ones[:, :4])
+        u_parts.append(0.0 * ones[:, :4])
+    return jnp.concatenate(l_parts, axis=1), jnp.concatenate(u_parts, axis=1)
 
 
 def condense(
@@ -339,12 +352,11 @@ def condense(
         RzL = _rz(foot_yaw[0]).astype(dtype)
         RzR = _rz(foot_yaw[1]).astype(dtype)
         box = box.at[6:9, 6:9].set(RzL.T).at[9:12, 9:12].set(RzR.T)
-    A_step = jnp.concatenate(
-        [friction_rows(biped.mu).astype(dtype), box,
-         line_foot_rows(biped, R, foot_yaw).astype(dtype),
-         torsional_rows(mpc).astype(dtype)],
-        axis=0,
-    )
+    rows = [friction_rows(biped.mu).astype(dtype), box,
+            line_foot_rows(biped, R, foot_yaw).astype(dtype)]
+    if mpc.mu_z is not None:
+        rows.append(torsional_rows(mpc).astype(dtype))
+    A_step = jnp.concatenate(rows, axis=0)
     l, u = constraint_bounds(mpc, biped, contact)
     return CondensedQp(P=P, q=q, A_step=A_step, l=l.astype(dtype),
                        u=u.astype(dtype), Sx=Sx, Su=Su, x0=x0)

@@ -329,9 +329,10 @@ def test_torsional_cone_binds_with_load(tick_golden):
 
 
 def test_torsional_cone_disabled_is_bit_identical(tick_golden):
-    """mu_z=None keeps the 28-row problem numerically IDENTICAL to the old
-    24-row form: the disabled rows are all-zero with free bounds, so the
-    KKT and every iterate are unchanged (golden-parity safety)."""
+    """mu_z=None builds the 24-row problem outright (ops/qp.py::m_step —
+    smaller kernel padding); appending 4 all-zero rows with free bounds
+    must leave the solution numerically identical, proving the omission
+    is exact (golden-parity safety)."""
     ref, cap, *_ = tick_golden
     mpc = MpcConfig()
     biped = BipedParams()
@@ -339,17 +340,19 @@ def test_torsional_cone_disabled_is_bit_identical(tick_golden):
     foot = jnp.asarray([-0.02, 0.09, 0.0, -0.02, -0.09, 0.0], jnp.float32)
     contact = contact_sequence(0.0, mpc, GaitConfig())
     qp = build_mpc_qp(x_fb, 0.0, foot, mpc, biped, contact)
-    assert qp.A_step.shape == (28, 12)
-    # the 4 torsional rows are exactly zero and free
-    assert float(jnp.max(jnp.abs(qp.A_step[24:]))) == 0.0
-    assert bool(jnp.all(qp.u[:, 24:] > 1e19))
-    sol24 = solve_qp(
-        dataclasses.replace(
-            qp, A_step=qp.A_step[:24], l=qp.l[:, :24], u=qp.u[:, :24]
+    assert qp.A_step.shape == (24, 12)
+    h = qp.l.shape[0]
+    big = jnp.full((h, 4), 1e20, qp.l.dtype)
+    qp28 = dataclasses.replace(
+        qp,
+        A_step=jnp.concatenate(
+            [qp.A_step, jnp.zeros((4, 12), qp.A_step.dtype)], axis=0
         ),
-        mpc,
+        l=jnp.concatenate([qp.l, -big], axis=1),
+        u=jnp.concatenate([qp.u, big], axis=1),
     )
-    sol28 = solve_qp(qp, mpc)
+    sol24 = solve_qp(qp, mpc)
+    sol28 = solve_qp(qp28, mpc)
     np.testing.assert_allclose(
         np.array(sol24.controls), np.array(sol28.controls), atol=2e-4
     )

@@ -55,7 +55,9 @@ def _scaled_mpc_batch(n_envs=8):
     )
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(ruiz_equilibrate)(qp)
     # stack the per-step A blocks into the dense block-diagonal form
-    B_, h, m, nu = Ah.shape[0], 10, 28, 12
+    # (m = 24 at the default mu_z=None semantics, 28 with the cone)
+    B_, h, nu = Ah.shape[0], 10, 12
+    m = Ah.shape[2]
 
     def blockdiag(Ah_one):
         out = jnp.zeros((h * m, h * nu), jnp.float32)
@@ -71,10 +73,10 @@ def _scaled_mpc_batch(n_envs=8):
 def test_kernel_matches_xla_core(n_iters):
     """Single-phase, no-polish kernel == the scalar XLA iteration replica."""
     Ph, A, qh, l, u = _scaled_mpc_batch(8)
-    B = Ph.shape[0]
+    B, m_tot = Ph.shape[0], A.shape[1]
     x0 = jnp.zeros((B, 120))
-    z0 = jnp.zeros((B, 280))
-    y0 = jnp.zeros((B, 280))
+    z0 = jnp.zeros((B, m_tot))
+    y0 = jnp.zeros((B, m_tot))
     x_k, z_k, y_k = fused_qp_solve(
         Ph, A, qh, l, u, x0, z0, y0, rho=0.3, n_iters=n_iters, n_phases=1,
         polish=False, interpret=True,
