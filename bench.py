@@ -103,14 +103,38 @@ def main() -> None:
         # test_articulated_bench_budget_accuracy. BENCH_MINV_HOLD=1
         # restores the oracle cadence.
         minv_hold = int(os.environ.get("BENCH_MINV_HOLD", "8"))
-        fn = jax.jit(
-            f32_precision(
-                batched_art_rollout_fn(
-                    n_steps, mpc, gait, n_substeps=n_sub,
-                    minv_ll_hold=minv_hold,
+        # BENCH_TERRAIN=<amplitude m>: per-env random rough ground
+        # (BASELINE config 4/5 combined — pair with BENCH_RANDOMIZE=1 for
+        # the fully domain-randomized stress bench; falls auto-reset
+        # in-batch and are reported)
+        terrain_amp = float(os.environ.get("BENCH_TERRAIN", "0"))
+        if terrain_amp > 0:
+            from biped_mpc_py_tpu.parallel.rollout_art import (
+                batched_art_rollout_terrain_fn,
+            )
+            from biped_mpc_py_tpu.sim.contact import Terrain
+
+            terrains = Terrain.rough_batch(
+                jax.random.PRNGKey(1), n_envs, amplitude=terrain_amp
+            )
+            tfn = jax.jit(
+                f32_precision(
+                    batched_art_rollout_terrain_fn(
+                        n_steps, mpc, gait, n_substeps=n_sub,
+                        minv_ll_hold=minv_hold,
+                    )
                 )
             )
-        )
+            fn = lambda w, b: tfn(w, b, terrains)
+        else:
+            fn = jax.jit(
+                f32_precision(
+                    batched_art_rollout_fn(
+                        n_steps, mpc, gait, n_substeps=n_sub,
+                        minv_ll_hold=minv_hold,
+                    )
+                )
+            )
     else:
         backend = os.environ.get("BENCH_BACKEND", "xla")
         block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "4"))

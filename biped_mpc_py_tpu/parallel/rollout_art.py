@@ -305,6 +305,7 @@ def batched_art_rollout_terrain_fn(
     model: ArticulatedModel | None = None,
     n_lowlevel: int = 8,
     n_substeps: int = 10,
+    minv_ll_hold: int = 1,
 ):
     """Batched articulated rollout with PER-ENV terrain:
     ``(world, biped, terrain) -> world`` where terrain is a batched
@@ -318,7 +319,7 @@ def batched_art_rollout_terrain_fn(
             return (
                 art_closed_loop_tick(
                     w, mpc, gait, biped, model, n_lowlevel, n_substeps,
-                    terrain,
+                    terrain, minv_ll_hold,
                 ),
                 None,
             )
