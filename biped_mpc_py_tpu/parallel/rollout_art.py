@@ -128,15 +128,21 @@ def art_config_for_turn(wz: float, vx: float = 0.0, **overrides):
     """(MpcConfig, GaitConfig) tuned for a commanded turn rate [rad/s],
     optionally while walking forward at ``vx`` [m/s].
 
-    The round-3 turning operating point (see docs/DESIGN_NOTES.md "The
-    turning ceiling's ROOT CAUSE"): body-frame command mode, the
-    corrected swing frames, NO swing foot-heading wrench (post-fix it
-    destabilizes turning on the engine), yaw leak 0.12, touchdown
-    damping, and a faster cadence (p=3 turn-in-place, p=2 for curved
-    walking at >= 0.4 m/s). Sweep-validated zero-fall envelope
-    (tools/sweep_turn3.py, tools/sweep_validate3.py): turn-in-place to
-    0.5 rad/s, curves 0.4 m/s + 0.3 rad/s, under +-2e-3 rad initial
-    perturbations.
+    Two operating points by command (see docs/DESIGN_NOTES.md "The
+    turning ceiling's ROOT CAUSE" + "MuJoCo turning"):
+
+    - ``|wz| <= 0.3`` turn-in-place: the UNIFIED cross-sim point —
+      body-frame mode, foot-heading wrench 3.0/0.4, sin^2 + td-damp,
+      p=3 cadence, default yaw leak. The SAME config turns 5/5
+      perturbed seeds in BOTH the engine and stick-friction MuJoCo at
+      the same realized ~0.28 rad/s (93% tracking;
+      test_mj_contact.py::TestTurningTransfer).
+    - faster commands / curved walking: NO foot-heading wrench + yaw
+      leak 0.12 (post-frame-fix the wrench destabilizes the engine at
+      0.4+), p=3 (p=2 with sin^2 for curves at >= 0.35 m/s).
+      Sweep-validated zero-fall to 0.5-0.6 rad/s commanded on the
+      engine (realized saturates ~0.3 — the shared transport ceiling,
+      tools/sweep_turn3.py, tools/sweep_turn_unify.py).
     """
     from biped_mpc_py_tpu.control.gait import gait_for_speed
 
@@ -144,6 +150,14 @@ def art_config_for_turn(wz: float, vx: float = 0.0, **overrides):
         jnp.zeros(12).at[5].set(0.55).at[8].set(float(wz))
         .at[9].set(float(vx))
     )
+    if abs(vx) < 0.05 and abs(wz) <= 0.3:
+        kw = dict(
+            cmd_body_frame=True, kp_hipyaw=3.0, kd_hipyaw=0.4,
+            swing_z_sin2=True,
+        )
+        gait = GaitConfig(steps_per_phase=3)
+        kw.update(overrides)
+        return art_mpc_config(x_cmd=x_cmd, **kw), gait
     kw = dict(
         cmd_body_frame=True, kp_hipyaw=0.0, kd_hipyaw=0.0,
         cmd_leak_yaw=0.12,
