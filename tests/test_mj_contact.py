@@ -329,6 +329,48 @@ class TestPushTransfer:
                 assert not fell, (dvx, dvy, seed)
 
 
+class TestSpeedTransfer:
+    """Stick-friction walking SPEED transfer (round 3): the speed-scaled
+    p=2 cadence walks 0.3 and 0.5 m/s commands in MuJoCo on 4/4
+    perturbed seeds (90%/86% tracking); 0.6 needs the soft-capture
+    tuning and still realizes ~0.42, and 0.7+ falls — the MuJoCo
+    realized ceiling is ~0.43 m/s, which is ALSO what the engine
+    realizes at a 0.5 command (tools/sweep_vint.py: 0.43) — the two
+    sims share the transport-loss curve. Pins 0.5 m/s, 3 seeds, with
+    the engine-agreement band."""
+
+    def test_mujoco_05_speed_matches_engine(self):
+        from biped_mpc_py_tpu.sim.engine import com_feedback_state
+
+        x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(0.5)
+        gait = GaitConfig(2)
+        mpc_mj = art_mpc_config(x_cmd=x_cmd, **ORACLE_MPC)
+        xs_end = []
+        for seed in range(3):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, xs, fell = run_mujoco_closed_loop(
+                mpc_mj, gait, 250, model=MODEL, biped=BIPED, dq0=dq
+            )
+            assert not fell, f"MuJoCo 0.5 m/s fell (seed {seed})"
+            xs_end.append(xs[-1, 3])
+        x_mj = float(np.mean(xs_end))
+
+        mpc_fw = art_mpc_config(
+            x_cmd=x_cmd, swing_z_sin2=True
+        )  # engine defaults (tz=8)
+        tick = jax.jit(
+            lambda w: art_closed_loop_tick(w, mpc_fw, gait, BIPED, MODEL)
+        )
+        w = init_art_world(mpc_fw)
+        for _ in range(250):
+            w = tick(w)
+        assert float(w.metrics.falls) == 0
+        x_fw = float(com_feedback_state(MODEL, w.sim)[3])
+        assert x_mj > 3.5, x_mj
+        assert x_fw > 3.5, x_fw
+        assert abs(x_mj - x_fw) < 0.8, (x_mj, x_fw)
+
+
 class TestTerrainTransfer:
     """BASELINE config 4's rough-terrain half under stick friction
     (round 3): the engine's height field exported as a MuJoCo hfield
