@@ -329,6 +329,32 @@ class TestPushTransfer:
                 assert not fell, (dvx, dvy, seed)
 
 
+class TestCurveTransfer:
+    """Curved walking under stick friction (round 3): the engine's curve
+    operating point (body-frame, no foot-heading wrench, yaw leak 0.12 —
+    art_config_for_turn's vx branch) at the stick-physical tau_z_max=4
+    walks wz=0.2 + vx=0.3 on 3/3 perturbed seeds in MuJoCo (yaw ~1.4 rad
+    over 10 s, ~2.3 m of arc); wz=0.3 + vx=0.4 at p=2 is also 3/3.
+    The fh3 unified point is curve-UNSTABLE in MuJoCo too (1/3) —
+    matching the engine, where the wrench destabilizes curves."""
+
+    def test_mujoco_curve_02_03(self):
+        x_cmd = jnp.zeros(12).at[5].set(0.55).at[8].set(0.2).at[9].set(0.3)
+        mpc = art_mpc_config(
+            x_cmd=x_cmd, cmd_body_frame=True, kp_hipyaw=0.0, kd_hipyaw=0.0,
+            cmd_leak_yaw=0.12, tau_z_max=4.0, swing_td_damp=8.0,
+            swing_z_sin2=True,
+        )
+        for seed in range(2):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, xs, fell = run_mujoco_closed_loop(
+                mpc, GaitConfig(3), 250, model=MODEL, biped=BIPED, dq0=dq
+            )
+            assert not fell, seed
+            assert xs[-1, 2] > 1.0, (seed, xs[-1, 2])  # heading advanced
+            assert np.hypot(xs[-1, 3], xs[-1, 4]) > 1.8, seed  # real arc
+
+
 class TestSpeedTransfer:
     """Stick-friction walking SPEED transfer (round 3): the speed-scaled
     p=2 cadence walks 0.3 and 0.5 m/s commands in MuJoCo on 4/4
