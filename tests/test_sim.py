@@ -273,3 +273,41 @@ class TestMujocoOracle:
             # orientation)
             np.testing.assert_allclose(M_j[0:3, 0:3], M_mj[3:6, 3:6], atol=1e-5)
             np.testing.assert_allclose(M_j[3:6, 3:6], M_mj[0:3, 0:3], atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco not installed")
+def test_replay_export_roundtrip(model, tmp_path):
+    """sim/replay.py: an exported rollout (model.xml + traj.npz) reloads
+    in stock MuJoCo and replays — frames land the torso at walking
+    height with feet near the ground, incl. the terrain variant with the
+    hfield restored from the npz."""
+    from biped_mpc_py_tpu.config import GaitConfig
+    from biped_mpc_py_tpu.parallel.rollout_art import art_mpc_config
+    from biped_mpc_py_tpu.sim.contact import Terrain
+    from biped_mpc_py_tpu.sim.replay import export_rollout, restore_hfield
+
+    mpc = art_mpc_config()
+    info = export_rollout(str(tmp_path / "flat"), mpc, GaitConfig(), 25)
+    assert info["falls"] == 0 and info["frames"] == 25
+    m = mujoco.MjModel.from_xml_path(str(tmp_path / "flat_model.xml"))
+    d = mujoco.MjData(m)
+    t = np.load(tmp_path / "flat_traj.npz")
+    for q in t["qpos"][::8]:
+        d.qpos[:] = q
+        mujoco.mj_forward(m, d)
+        assert 0.45 < d.qpos[2] < 0.65
+        foot_z = [
+            d.geom_xpos[mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, g)][2]
+            for g in ("l_foot_toe", "r_foot_toe")
+        ]
+        assert min(foot_z) < 0.08  # a foot near the ground every frame
+
+    terr = Terrain.rough(jax.random.PRNGKey(3), amplitude=0.02)
+    info2 = export_rollout(
+        str(tmp_path / "rough"), mpc, GaitConfig(), 25, terrain=terr
+    )
+    m2 = mujoco.MjModel.from_xml_path(str(tmp_path / "rough_model.xml"))
+    t2 = np.load(tmp_path / "rough_traj.npz")
+    restore_hfield(m2, t2)
+    assert info2["falls"] == 0
+    assert m2.hfield_data.max() == 1.0 and m2.hfield_data.min() == 0.0
