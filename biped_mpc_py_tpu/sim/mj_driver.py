@@ -90,6 +90,7 @@ def run_mujoco_closed_loop(
     fall_z: float = 0.25,
     shove: tuple | None = None,
     terrain=None,
+    gait_schedule: list | None = None,
 ):
     """Closed loop in MuJoCo under the framework controller.
 
@@ -101,6 +102,11 @@ def run_mujoco_closed_loop(
     terrain: optional :class:`~biped_mpc_py_tpu.sim.contact.Terrain` —
     the MuJoCo floor becomes the SAME height field the controller's
     terrain-adaptive references read (BASELINE config 4 cross-sim).
+    gait_schedule: optional ``[(start_tick, GaitConfig), ...]`` runtime
+    gait switches (e.g. stand -> walk -> stand). ``gait_mode`` is
+    consumed ONLY by the host-level ``contact_sequence``, so a mode
+    switch needs no re-jit; switching ``steps_per_phase`` mid-run is NOT
+    supported (it is baked into the jitted reference lookaheads).
 
     Returns (per-tick per-foot forces (n,2), per-tick feedback states
     (n,12), fell).
@@ -146,7 +152,15 @@ def run_mujoco_closed_loop(
     ctrl = ControllerState.init(mpc)
     forces, xs = [], []
     t = 0.0
+    gait_now = gait
     for k in range(n_ticks):
+        if gait_schedule:
+            for start, g in gait_schedule:
+                if k >= start:
+                    assert g.steps_per_phase == gait.steps_per_phase, (
+                        "gait_schedule can only switch gait_mode"
+                    )
+                    gait_now = g
         if shove is not None and k == shove[0]:
             # world-frame base-velocity impulse (MuJoCo free-joint linear
             # qvel is world-frame)
@@ -154,7 +168,7 @@ def run_mujoco_closed_loop(
             d.qvel[1] += shove[2]
         s = state_from_mj(d, t)
         x_fb, pf_w = fb(s)
-        contact = contact_sequence(t, mpc, gait)
+        contact = contact_sequence(t, mpc, gait_now)
         sol = solve(
             x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q, ctrl.v_int
         )

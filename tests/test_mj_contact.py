@@ -329,6 +329,31 @@ class TestPushTransfer:
                 assert not fell, (dvx, dvy, seed)
 
 
+class TestTransitionTransfer:
+    """Runtime stand -> walk -> stand under stick friction (the engine
+    analogs: test_articulated_gait_transitions /
+    test_rollout.py::test_gait_transitions_stand_walk_stand). gait_mode
+    is consumed only by the host-level contact schedule, so the MuJoCo
+    driver switches it mid-run with no re-jit (gait_schedule)."""
+
+    def test_mujoco_stand_walk_stand(self):
+        mpc = art_mpc_config(
+            x_cmd=jnp.zeros(12).at[5].set(0.55), **ORACLE_MPC
+        )
+        for seed in range(2):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, xs, fell = run_mujoco_closed_loop(
+                mpc, GaitConfig(gait_mode=0), 200, model=MODEL, biped=BIPED,
+                dq0=dq,
+                gait_schedule=[(50, GaitConfig(gait_mode=1)),
+                               (150, GaitConfig(gait_mode=0))],
+            )
+            assert not fell, seed
+            # settled back at stance height with decayed sway
+            assert abs(xs[-1, 5] - 0.548) < 0.03, (seed, xs[-1, 5])
+            assert np.abs(xs[-1, 9:12]).max() < 0.12, seed
+
+
 class TestCurveTransfer:
     """Curved walking under stick friction (round 3): the engine's curve
     operating point (body-frame, no foot-heading wrench, yaw leak 0.12 —

@@ -339,3 +339,30 @@ def test_sharded_articulated_rollout(setup):
     np.testing.assert_allclose(
         np.array(w.sim.pos), np.array(v.sim.pos), atol=3e-3
     )
+
+
+def test_articulated_gait_transitions(setup):
+    """Runtime stand -> walk -> stand on the FULL articulated stack (the
+    SRB analog is test_rollout.py::test_gait_transitions_stand_walk_stand;
+    round-3 closes the gap where the README's articulated envelope
+    claimed transitions but only the SRB layer tested them). gait_mode is
+    a dynamic leaf (control/gait.py uses jnp.where), so the switch reuses
+    one compiled rollout; controller state carries across."""
+    biped, model = setup
+    mpc = art_mpc_config()
+    stand = jax.jit(
+        art_rollout_fn(50, mpc, GaitConfig(gait_mode=0), model=model)
+    )
+    walk = jax.jit(
+        art_rollout_fn(100, mpc, GaitConfig(gait_mode=1), model=model)
+    )
+    stand2 = jax.jit(
+        art_rollout_fn(100, mpc, GaitConfig(gait_mode=0), model=model)
+    )
+    w = stand(init_art_world(mpc), biped)
+    w = walk(w, biped)
+    w = stand2(w, biped)
+    assert float(w.metrics.falls) == 0
+    x = np.array(w.sim.torso_state())
+    assert abs(x[5] - 0.548) < 0.03  # settled at stance height
+    assert np.abs(x[9:12]).max() < 0.12  # residual sway decayed
