@@ -366,3 +366,27 @@ def test_articulated_gait_transitions(setup):
     x = np.array(w.sim.torso_state())
     assert abs(x[5] - 0.548) < 0.03  # settled at stance height
     assert np.abs(x[9:12]).max() < 0.12  # residual sway decayed
+
+
+def test_articulated_checkpoint_resume_bit_exact(setup, tmp_path):
+    """ArtWorld checkpoints like any pytree: save -> load -> resume ==
+    straight run on the FULL articulated stack (SRB analog:
+    test_rollout.py::test_checkpoint_resume_bit_exact)."""
+    from biped_mpc_py_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    biped, model = setup
+    mpc = art_mpc_config()
+    f20 = jax.jit(art_rollout_fn(20, mpc, GaitConfig(), model=model))
+    f10 = jax.jit(art_rollout_fn(10, mpc, GaitConfig(), model=model))
+    w_mid = f20(init_art_world(mpc), biped)
+    path = tmp_path / "art_ckpt.npz"
+    save_pytree(str(path), w_mid)
+    w_loaded = load_pytree(str(path), jax.tree.map(jnp.zeros_like, w_mid))
+    w_resumed = f10(w_loaded, biped)
+    w_straight = f10(w_mid, biped)
+    np.testing.assert_array_equal(
+        np.array(w_resumed.sim.q), np.array(w_straight.sim.q)
+    )
+    np.testing.assert_array_equal(
+        np.array(w_resumed.sim.pos), np.array(w_straight.sim.pos)
+    )
