@@ -226,27 +226,32 @@ def art_closed_loop_tick(
 
     assert n_lowlevel % minv_ll_hold == 0, (n_lowlevel, minv_ll_hold)
 
-    def ll_group(s, _):
+    def ll_group(carry, _):
+        s, e = carry
         # one mass-matrix inverse per GROUP of low-level periods (q moves
         # ~1% per 5 ms period); the MuJoCo closed-loop force oracle bounds
         # the fidelity cost at the default hold=1
         Minv = mass_matrix_inv(model, s.q)
 
-        def ll_step(s2, _):
+        def ll_step(carry2, _):
+            s2, e2 = carry2
             x, pf = feedback_and_soles(model, s2)
             tau = low_level_control(
                 x, s2.t, pf, s2.q, s2.qd, mpc, biped, contact, u0,
                 gait=gait, cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
             )
-            return art_step(
+            # positive mechanical joint work this period (metrics.energy)
+            e2 = e2 + jnp.sum(jnp.maximum(tau * s2.qd, 0.0)) * ll_dt
+            return (art_step(
                 model, s2, tau, ll_dt, n_substeps, terrain, Minv=Minv,
-            ), None
+            ), e2), None
 
-        s, _ = jax.lax.scan(ll_step, s, None, length=minv_ll_hold)
-        return s, None
+        carry, _ = jax.lax.scan(ll_step, (s, e), None, length=minv_ll_hold)
+        return carry, None
 
-    sim_new, _ = jax.lax.scan(
-        ll_group, sim, None, length=n_lowlevel // minv_ll_hold
+    (sim_new, energy), _ = jax.lax.scan(
+        ll_group, (sim, jnp.zeros((), sim.q.dtype)), None,
+        length=n_lowlevel // minv_ll_hold,
     )
 
     z = sim_new.pos[2]
@@ -266,7 +271,8 @@ def art_closed_loop_tick(
         ControllerState(qp=sol, cmd_ref=ref_next, v_int=vi_next),
     )
     metrics = world.metrics.update(
-        sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim, fell.astype(z.dtype)
+        sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim,
+        fell.astype(z.dtype), energy=energy,
     )
     return ArtWorld(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
 

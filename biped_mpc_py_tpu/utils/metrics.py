@@ -23,18 +23,22 @@ class RolloutMetrics:
     fz_total: jnp.ndarray  # sum of total vertical contact force
     res_prim_max: jnp.ndarray  # max ADMM primal residual seen
     falls: jnp.ndarray  # number of fall/reset events
+    # positive mechanical joint work [J] (sum of max(tau*qd, 0) dt over
+    # the low-level steps — motors don't regenerate). Articulated
+    # rollouts accumulate it; SRB rollouts have no joints and leave it 0.
+    energy: jnp.ndarray
 
     @classmethod
     def zeros(cls, dtype=jnp.float32) -> "RolloutMetrics":
         z = jnp.asarray(0.0, dtype)
         return cls(
             n_steps=z, height_err_sq=z, attitude_err_sq=z, vel_err_sq=z,
-            fz_total=z, res_prim_max=z, falls=z,
+            fz_total=z, res_prim_max=z, falls=z, energy=z,
         )
 
     def update(
         self, x_fb: jnp.ndarray, x_cmd: jnp.ndarray, u0: jnp.ndarray,
-        res_prim: jnp.ndarray, fell: jnp.ndarray,
+        res_prim: jnp.ndarray, fell: jnp.ndarray, energy=0.0,
     ) -> "RolloutMetrics":
         return RolloutMetrics(
             n_steps=self.n_steps + 1,
@@ -46,4 +50,12 @@ class RolloutMetrics:
             fz_total=self.fz_total + u0[2] + u0[5],
             res_prim_max=jnp.maximum(self.res_prim_max, res_prim),
             falls=self.falls + fell,
+            energy=self.energy + energy,
         )
+
+
+def cost_of_transport(energy_j, mass_kg, distance_m, g: float = 9.81):
+    """Dimensionless mechanical cost of transport E / (m g d) — the
+    standard locomotion-efficiency figure (human walking ~0.2, typical
+    small bipeds 0.5-3 in positive mechanical work terms)."""
+    return energy_j / (mass_kg * g * jnp.maximum(distance_m, 1e-9))

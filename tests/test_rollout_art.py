@@ -390,3 +390,23 @@ def test_articulated_checkpoint_resume_bit_exact(setup, tmp_path):
     np.testing.assert_array_equal(
         np.array(w_resumed.sim.pos), np.array(w_straight.sim.pos)
     )
+
+
+def test_articulated_cost_of_transport(setup):
+    """Mechanical cost of transport at 0.3 m/s lands in the plausible
+    small-biped band (positive joint work E/(m g d); human walking ~0.2,
+    small electric bipeds ~0.5-3). Guards the energy accumulator
+    (metrics.energy) against unit slips more than it pins efficiency."""
+    from biped_mpc_py_tpu.control.gait import gait_for_speed
+    from biped_mpc_py_tpu.utils.metrics import cost_of_transport
+
+    biped, model = setup
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(0.3)
+    mpc = art_mpc_config(x_cmd=x_cmd)
+    w = jax.jit(art_rollout_fn(250, mpc, gait_for_speed(0.3), model=model))(
+        init_art_world(mpc), biped
+    )
+    assert float(w.metrics.falls) == 0
+    d = float(w.sim.pos[0])
+    cot = float(cost_of_transport(w.metrics.energy, 12.0, d))
+    assert 0.2 < cot < 5.0, (cot, float(w.metrics.energy), d)
