@@ -305,13 +305,15 @@ class TestPushTransfer:
     base-velocity impulses at t=2 s into in-place walking, recovered by
     stepping. The measured MuJoCo envelope (tools/sweep_mj_push*.py,
     3 seeds/cell) is direction-asymmetric: +x 0.4, -x 0.25, +y 0.5,
-    -y 0.3 m/s — backward and toward-stance-leg shoves are the hard
-    directions (phase-coupled: the shove lands at a fixed gait phase
-    here; the engine's 0.5 omnidirectional number is the compliant-
-    contact envelope at the engine operating point). No gain variant
-    tried (td-damp off, rg 0.7, ffs 1.2, shove phase 50-57) lifts -x
-    past 0.3 — a stick-friction backward-stepping limit, documented in
-    DESIGN_NOTES."""
+    -y 0.3 m/s at THIS shove phase. The lateral asymmetry is PROVEN
+    stance-phase coupling, not a y-direction weakness: shoving at the
+    opposite stance phase flips it exactly (+y 0/3 and -y 3/3 at ticks
+    55/57, vs +y 3/3 / -y 0/3 at tick 50) — a 0.4 m/s shove toward the
+    STANCE side fails because the recovery step would cross the stance
+    leg (the classic biped leg-crossing limit). Backward is
+    phase-independent: no gain variant tried (td-damp off, rg 0.7,
+    ffs 1.2, 4 shove phases) lifts -x past 0.3 — a stick-friction
+    backward-stepping limit, documented in DESIGN_NOTES."""
 
     CASES = [(0.4, 0.0), (-0.25, 0.0), (0.0, 0.5), (0.0, -0.3)]
 
