@@ -106,7 +106,12 @@ def advance_v_int(
     MpcConfig.cmd_v_int_gain). World-frame error; body-frame commands are
     rotated by the measured yaw first. Axes with a zero command hold
     integral 0 (position-hold mode already has stiffness there), and the
-    clip at cmd_v_int_max bounds windup."""
+    clip at cmd_v_int_max bounds windup.
+
+    Effective in WORLD-frame command mode only: com_reference's
+    body-frame branch overwrites the velocity rows with the commanded
+    arc (the leak anchor supplies the integral-like action there), so
+    the boost never reaches the QP in that mode."""
     if mpc.cmd_body_frame:
         yaw = x_fb[2]
         c, s = jnp.cos(yaw), jnp.sin(yaw)
