@@ -311,3 +311,33 @@ def test_replay_export_roundtrip(model, tmp_path):
     restore_hfield(m2, t2)
     assert info2["falls"] == 0
     assert m2.hfield_data.max() == 1.0 and m2.hfield_data.min() == 0.0
+
+
+def test_feedback_and_soles_matches_separate_paths(model):
+    """sim/engine.py::feedback_and_soles (the fused single-FK feedback
+    pass every rollout uses) is bit-equivalent to the two separate
+    functions it fuses, on a random articulated state."""
+    from biped_mpc_py_tpu.sim.engine import (
+        ArtState,
+        com_feedback_state,
+        feedback_and_soles,
+        sole_positions,
+    )
+
+    rng = np.random.default_rng(5)
+    s0 = ArtState.standing()
+    quat = jnp.asarray(rng.normal(size=4), jnp.float32)
+    quat = quat / jnp.linalg.norm(quat)
+    s = ArtState(
+        pos=s0.pos + jnp.asarray(rng.normal(size=3) * 0.05, jnp.float32),
+        quat=quat,
+        v_base=jnp.asarray(rng.normal(size=6) * 0.3, jnp.float32),
+        q=s0.q + jnp.asarray(rng.normal(size=10) * 0.1, jnp.float32),
+        qd=jnp.asarray(rng.normal(size=10) * 1.0, jnp.float32),
+        t=jnp.asarray(0.3, jnp.float32),
+    )
+    x_fused, pf_fused = jax.jit(lambda st: feedback_and_soles(model, st))(s)
+    x_sep = com_feedback_state(model, s)
+    pf_sep = sole_positions(model, s)
+    np.testing.assert_allclose(np.array(x_fused), np.array(x_sep), atol=1e-6)
+    np.testing.assert_allclose(np.array(pf_fused), np.array(pf_sep), atol=1e-6)
