@@ -136,7 +136,7 @@ def art_config_for_turn(wz: float, vx: float = 0.0, **overrides):
       p=3 cadence, default yaw leak. The SAME config turns 5/5
       perturbed seeds in BOTH the engine and stick-friction MuJoCo at
       the same realized ~0.28 rad/s (93% tracking;
-      test_mj_contact.py::TestTurningTransfer).
+      test_mj_transfer.py::TestTurningTransfer).
     - faster commands / curved walking: NO foot-heading wrench + yaw
       leak 0.12 (post-frame-fix the wrench destabilizes the engine at
       0.4+), p=3 (p=2 with sin^2 for curves at >= 0.35 m/s).

@@ -83,38 +83,12 @@ def com_feedback_state(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
     VERTICAL channel keeps torso-frame z so the height command retains its
     leg-extension meaning (commanding true-CoM height overextends the legs).
     Attitude and angular velocity are the torso's.
+
+    ONE implementation of the math: this is :func:`feedback_and_soles`'
+    feedback half (the sole einsum it also computes is negligible next
+    to the shared FK pass).
     """
-    from biped_mpc_py_tpu.sim.dynamics import leg_kinematics_lv
-
-    dtype = state.q.dtype
-    R_w, p_w, v_legs, R0 = leg_kinematics_lv(
-        model, state.pos, state.quat, state.q, state.v_base, state.qd
-    )
-    m_legs = model.mass[1:].reshape(2, 5).astype(dtype)
-    c_legs = model.com[1:].reshape(2, 5, 3).astype(dtype)
-    total_m = jnp.sum(model.mass)
-
-    com_pts = p_w + jnp.einsum("lkij,lkj->lki", R_w, c_legs)  # (2,5,3)
-    v_ci = v_legs[..., 3:6] + jnp.cross(v_legs[..., 0:3], c_legs)
-    mom_legs = jnp.einsum(
-        "lk,lki->i", m_legs, jnp.einsum("lkij,lkj->lki", R_w, v_ci)
-    )
-    c0 = model.com[0].astype(dtype)
-    p_com = (
-        model.mass[0] * (state.pos + R0 @ c0)
-        + jnp.einsum("lk,lki->i", m_legs, com_pts)
-    ) / total_m
-    v0_ci = state.v_base[3:6] + jnp.cross(state.v_base[0:3], c0)
-    v_com = (model.mass[0] * (R0 @ v0_ci) + mom_legs) / total_m
-
-    R = R0
-    eul = quat_to_eul(state.quat)
-    w_world = R @ state.v_base[0:3]
-    # hybrid: CoM xy, torso z (see docstring)
-    pos = jnp.stack([p_com[0], p_com[1], state.pos[2]])
-    v_t = R @ state.v_base[3:6]
-    vel = jnp.stack([v_com[0], v_com[1], v_t[2]])
-    return jnp.concatenate([eul, pos, w_world, vel])
+    return feedback_and_soles(model, state)[0]
 
 
 def sole_positions(model: ArticulatedModel, state: ArtState) -> jnp.ndarray:
@@ -137,11 +111,13 @@ def _soles_from_fk(R_w, p_w, dtype) -> jnp.ndarray:
 def feedback_and_soles(model: ArticulatedModel, state: ArtState):
     """(x_fb (12,), pf_w (6,)) from ONE leg-kinematics pass.
 
-    Fuses :func:`com_feedback_state` and :func:`sole_positions`, whose
-    separate calls each re-ran the full leg FK — together they were the
-    single largest stage of the articulated tick (2.1 ms of a ~5 ms
-    low-level period at 1024 envs, x8 per MPC tick; tools/
-    bench_art_stages.py). Identical outputs to the two functions."""
+    The CANONICAL implementation of the controller feedback —
+    :func:`com_feedback_state` (see its docstring for the hybrid
+    CoM-xy/torso-z semantics) delegates here, and
+    :func:`sole_positions` shares :func:`_soles_from_fk`. One FK pass
+    serves both outputs (separate calls each re-ran the full leg FK;
+    equivalence is test-pinned,
+    test_sim.py::test_feedback_and_soles_matches_separate_paths)."""
     from biped_mpc_py_tpu.sim.dynamics import leg_kinematics_lv
 
     dtype = state.q.dtype

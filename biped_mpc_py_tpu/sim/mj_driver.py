@@ -152,14 +152,18 @@ def run_mujoco_closed_loop(
     ctrl = ControllerState.init(mpc)
     forces, xs = [], []
     t = 0.0
+    if gait_schedule:
+        for _, g in gait_schedule:
+            assert g.steps_per_phase == gait.steps_per_phase, (
+                "gait_schedule can only switch gait_mode"
+            )
+        # latest start <= k wins regardless of list order
+        gait_schedule = sorted(gait_schedule, key=lambda e: e[0])
     gait_now = gait
     for k in range(n_ticks):
         if gait_schedule:
             for start, g in gait_schedule:
                 if k >= start:
-                    assert g.steps_per_phase == gait.steps_per_phase, (
-                        "gait_schedule can only switch gait_mode"
-                    )
                     gait_now = g
         if shove is not None and k == shove[0]:
             # world-frame base-velocity impulse (MuJoCo free-joint linear
@@ -172,6 +176,10 @@ def run_mujoco_closed_loop(
         sol = solve(
             x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q, ctrl.v_int
         )
+        # low-level uses the SAME pre-advance cmd_ref as the solve — the
+        # engine tick's semantics (art_closed_loop_tick); the anchor
+        # advances for the NEXT tick only
+        cmd_ref_now = ctrl.cmd_ref
         ctrl = ControllerState(
             qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
             v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
@@ -182,7 +190,7 @@ def run_mujoco_closed_loop(
             x_j, pf_j = fb(s)
             tau = lowlvl(
                 x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0],
-                ctrl.cmd_ref,
+                cmd_ref_now,
             )
             d.qfrc_applied[6:16] = np.array(tau)
             for _ in range(MJ_PER_LL):

@@ -37,7 +37,6 @@ def rollout_qpos_track(
     model: ArticulatedModel | None = None,
     biped: BipedParams | None = None,
     terrain=None,
-    substeps_per_frame: int = 0,
     **tick_kw,
 ):
     """Run an articulated closed-loop rollout and return its qpos track.

@@ -57,5 +57,6 @@ class RolloutMetrics:
 def cost_of_transport(energy_j, mass_kg, distance_m, g: float = 9.81):
     """Dimensionless mechanical cost of transport E / (m g d) — the
     standard locomotion-efficiency figure (human walking ~0.2, typical
-    small bipeds 0.5-3 in positive mechanical work terms)."""
-    return energy_j / (mass_kg * g * jnp.maximum(distance_m, 1e-9))
+    small bipeds 0.5-3 in positive mechanical work terms). ``distance_m``
+    may be signed (backward walking uses its magnitude)."""
+    return energy_j / (mass_kg * g * jnp.maximum(jnp.abs(distance_m), 1e-9))

@@ -45,8 +45,26 @@ ctrl0 = w.ctrl
 
 
 def timed(name, fn, *args):
+    # the computation INSIDE the scan must depend on the carry: a
+    # loop-invariant body (lambda c, _: fn(*a)) is subject to XLA
+    # loop-invariant code motion and can time ~one evaluation instead of
+    # REPS. A zero derived from the previous iteration's output is added
+    # to every float input, forcing re-execution each rep. (And even a
+    # correct isolated-stage timing bounds FLOPs, not scan-embedded
+    # schedule stalls — confirm levers end-to-end with bench.py;
+    # docs/DESIGN_NOTES.md round 3.)
+    def body(c, _):
+        dep = (jax.tree.leaves(c)[0].reshape(-1)[0] * 0.0)
+
+        def tie(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x + dep.astype(x.dtype)
+            return x
+
+        return fn(*jax.tree.map(tie, args)), None
+
     f = jax.jit(f32_precision(lambda *a: jax.lax.scan(
-        lambda c, _: (fn(*a), None), fn(*args), None, length=REPS)[0]))
+        body, fn(*args), None, length=REPS)[0]))
     out = f(*args)
     jax.block_until_ready(out)
     t0 = time.time()
