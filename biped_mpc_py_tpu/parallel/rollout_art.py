@@ -78,8 +78,10 @@ def art_mpc_config(**overrides) -> MpcConfig:
     perturbations, ~25 s per 90 x 10 s rollouts on one chip): zero falls
     and attitude RMS <= 0.028 across in-place, 0.15 m/s (p=4), 0.3 m/s
     (p=3), each under +-2e-3 rad initial joint perturbations. For
-    TURNING commands use :func:`art_config_for_turn` (the corrected
-    swing frames made the heading wrench counterproductive there).
+    TURNING commands use :func:`art_config_for_turn` (it picks between
+    the unified cross-sim point at <= 0.3 rad/s and the fh0+leak point
+    for faster/curved commands — the heading wrench destabilizes the
+    latter).
     """
     cfg = dataclasses.replace(
         MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5,
