@@ -32,6 +32,50 @@ from biped_mpc_py_tpu.utils.precision import f32_precision
 REFERENCE_STEPS_PER_SEC = 4.0  # BASELINE.md: est. 250 ms per reference tick
 
 
+def _fail(kind: str, exc: BaseException) -> None:
+    """Structured failure mode (VERDICT r3 weak #1): when the backend is
+    down, the driver artifact should record ONE parseable JSON line, not a
+    180-line traceback. Full traceback still goes to stderr for debugging."""
+    import traceback
+
+    traceback.print_exc(file=sys.stderr)
+    msg = f"{type(exc).__name__}: {exc}"
+    print(json.dumps({"error": kind, "detail": msg[:400]}))
+    raise SystemExit(1)
+
+
+def _start_watchdog(deadline_s: float = 240.0):
+    """Stderr-only heartbeat: if the first device op hasn't completed by the
+    deadline (the wedged-axon-claim hang of round 3 — jax.devices() blocks
+    forever, no exception to catch), leave a diagnosable note in the
+    artifact. Deliberately does NOT kill anything: SIGTERM/exit mid-claim
+    re-wedges the pool (CLAUDE.md recovery protocol)."""
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline_s):
+            print(
+                json.dumps(
+                    {
+                        "note": "watchdog",
+                        "detail": (
+                            f"first device op still pending after "
+                            f"{deadline_s:.0f}s — likely wedged axon pool "
+                            "claim; not killing (would re-wedge)"
+                        ),
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+
+    t = threading.Thread(target=_watch, daemon=True)
+    t.start()
+    return done
+
+
 def _bipeds(biped, n_envs, randomize):
     if randomize:
         from biped_mpc_py_tpu.parallel.rollout import randomize_params
@@ -44,6 +88,18 @@ def _bipeds(biped, n_envs, randomize):
 
 def main() -> None:
     import dataclasses
+
+    # BENCH_PLATFORM=cpu: the ONLY reliable way to keep a bench run off the
+    # TPU in this container — the sitecustomize merges axon into
+    # JAX_PLATFORMS (env "cpu" still yields config "axon,cpu", which
+    # initializes axon first), so pin via jax.config before any device op.
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    # Covers backend init too: the first jnp array in world construction
+    # already claims the device, before the jitted fn ever runs.
+    watchdog_done = _start_watchdog()
 
     n_envs = int(os.environ.get("BENCH_ENVS", "1024"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
@@ -137,7 +193,9 @@ def main() -> None:
             )
     else:
         backend = os.environ.get("BENCH_BACKEND", "xla")
-        block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "4"))
+        # 0 = auto (derived from the padded constraint-row count; see
+        # ops/pallas/qp_kernel.fused_qp_solve)
+        block_envs = int(os.environ.get("BENCH_BLOCK_ENVS", "0")) or None
         worlds = batch_worlds(mpc, n_envs)
         bipeds = _bipeds(biped, n_envs, randomize)
         fn = jax.jit(
@@ -149,8 +207,13 @@ def main() -> None:
         )
 
     t0 = time.time()
-    w = fn(worlds, bipeds)
-    jax.block_until_ready(w)
+    try:
+        w = fn(worlds, bipeds)
+        jax.block_until_ready(w)
+    except Exception as e:  # backend unreachable / compile failure
+        _fail("backend_or_compile_failure", e)
+    finally:
+        watchdog_done.set()
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
@@ -181,4 +244,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        _fail("bench_setup_failure", e)

@@ -81,6 +81,17 @@ class MpcConfig:
     # foot's tangential velocity before impact (suppresses the
     # stick-friction drag impulse at touchdown). 0 = reference behavior.
     swing_td_damp: float = 0.0
+    # Fraction of the swing window by which the z-profile completes its
+    # descent (RUNNING gaits only — consumed solely on the
+    # flight_steps > 0 path of control/swing.py::swing_phase_z). The
+    # swing PD tracks the descending profile with a kd_swing*v lag of
+    # ~2-3 cm, so a profile that reaches 0 exactly at the scheduled
+    # touchdown leaves the sole airborne when stance starts — fatal when
+    # no other foot is planted (measured: the round-4 running-gait trip
+    # mode). < 1 finishes the descent early and holds z=0 for the
+    # remainder, giving the PD time to close the gap. 1.0 = the walking
+    # profile's timing.
+    swing_land_frac: float = 1.0
     # Swing foot-heading PD gains (control/lowlevel.py: world-z moment
     # wrench on the swing foot through the angular Jacobian). The 3-dof
     # Cartesian swing task leaves foot yaw uncontrolled; without this it
@@ -307,6 +318,18 @@ class GaitConfig:
     steps_per_phase: int = struct.field(pytree_node=False, default=5)
     # 1 = walking (alternating single stance), 0 = standing (double stance)
     gait_mode: int = 1
+    # AERIAL steps between stances (round 4; no reference analog — the
+    # reference's table, ``:52-58``, always has exactly one foot down).
+    # flight_steps = f > 0 turns walking into RUNNING: the cycle becomes
+    # [left stance p][flight f][right stance p][flight f] (period
+    # 2(p+f) MPC steps); during flight both contact flags are 0, the QP
+    # pins both wrenches to zero and the SRB model is ballistic — the
+    # MPC loads the stance steps in its horizon to refill the vertical
+    # momentum (the standard convex-MPC running formulation). Each leg's
+    # swing then lasts p+2f steps and starts at a leg-specific cycle
+    # point, so the swing clock is per-leg (control/gait.py::swing_clock).
+    # 0 (default) = walking, bit-identical to the round-3 behavior.
+    flight_steps: int = struct.field(pytree_node=False, default=0)
 
 
 def default_mpc_config(**overrides) -> MpcConfig:

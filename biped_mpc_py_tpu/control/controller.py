@@ -111,26 +111,19 @@ def advance_v_int(
     Effective in WORLD-frame command mode only: com_reference's
     body-frame branch overwrites the velocity rows with the commanded
     arc (the leak anchor supplies the integral-like action there), so
-    the boost never reaches the QP in that mode."""
+    the boost could never reach the QP in that mode — the integrator is
+    therefore held structurally at zero there (no stale state carried
+    across a cmd_body_frame flag flip)."""
     if mpc.cmd_body_frame:
-        yaw = x_fb[2]
-        c, s = jnp.cos(yaw), jnp.sin(yaw)
-        vcx = c * mpc.x_cmd[9] - s * mpc.x_cmd[10]
-        vcy = s * mpc.x_cmd[9] + c * mpc.x_cmd[10]
-    else:
-        vcx, vcy = mpc.x_cmd[9], mpc.x_cmd[10]
+        return jnp.zeros_like(v_int)
+    vcx, vcy = mpc.x_cmd[9], mpc.x_cmd[10]
     v_cmd = jnp.stack([vcx, vcy])
     err = v_cmd - x_fb[9:11]
     nxt = jnp.clip(
         v_int + mpc.cmd_v_int_gain * err,
         -mpc.cmd_v_int_max, mpc.cmd_v_int_max,
     )
-    if mpc.cmd_body_frame:
-        # heading rotation mixes the axes: gate both on any raw command
-        active = (mpc.x_cmd[9] != 0) | (mpc.x_cmd[10] != 0)
-        gate = jnp.broadcast_to(active, (2,))
-    else:
-        gate = mpc.x_cmd[9:11] != 0
+    gate = mpc.x_cmd[9:11] != 0
     return jnp.where(gate, nxt, jnp.zeros_like(nxt))
 
 

@@ -61,21 +61,64 @@ def gait_for_speed(speed: float, gait_mode: int = 1) -> GaitConfig:
 def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
     """Contact flags over the horizon -> (h, 2) in {0., 1.}.
 
-    Walking (gait_mode=1): left foot in stance iff
+    Walking (gait_mode=1, flight_steps=0): left foot in stance iff
     ``(step mod 2p) < p`` with ``p = steps_per_phase``; right is the
     complement. With p=5, h=10 this reproduces the reference table
     (``bipedalLocomotionMPC.py:52-58``) for every start step k — the 20-row
     table is two periods of this rule.
 
+    Running (flight_steps=f > 0, round 4): the cycle gains f aerial steps
+    after each stance — period 2(p+f), left stance on [0, p), right on
+    [p+f, 2p+f), NEITHER foot down on the two flight windows. f=0 reduces
+    exactly to walking (right window = left's complement).
+
     Standing (gait_mode=0): both feet in stance (reference ``:483-484``).
     """
     p = gait.steps_per_phase
-    # Absolute step, NOT wrapped at mpc.h: `steps % (2p)` below is the only
-    # periodicity, so any steps_per_phase keeps p-step stance phases aligned
-    # with absolute time (a `% h` here breaks every cadence with 2p != h).
+    f = gait.flight_steps
+    # Absolute step, NOT wrapped at mpc.h: the cycle modulus below is the
+    # only periodicity, so any steps_per_phase keeps p-step stance phases
+    # aligned with absolute time (a `% h` here breaks every cadence with
+    # period != h).
     k = phase_index(t, mpc)
     steps = k + jnp.arange(mpc.h, dtype=jnp.int32)
-    left = ((steps % (2 * p)) < p).astype(jnp.float32)
-    walking = jnp.stack([left, 1.0 - left], axis=-1)
+    s = steps % (2 * (p + f))
+    left = (s < p).astype(jnp.float32)
+    right = ((s >= p + f) & (s < 2 * p + f)).astype(jnp.float32)
+    walking = jnp.stack([left, right], axis=-1)
     standing = jnp.ones((mpc.h, 2), jnp.float32)
     return jnp.where(jnp.asarray(gait.gait_mode) == 1, walking, standing)
+
+
+def swing_clock(t, mpc: MpcConfig, gait: GaitConfig | None, side, dtype):
+    """Per-leg swing clock -> (phase fraction in [0, 1], swing duration T_sw).
+
+    Walking (flight_steps=0): the legacy SHARED clock — at any instant
+    exactly one leg swings and its swing began at a phase boundary, so
+    ``(t mod t_p) / t_p`` is the swing fraction of whichever leg is
+    airborne (reference ``bipedalLocomotionMPC.py:436``). Kept verbatim so
+    f=0 is bit-identical to the round-3 behavior.
+
+    Running (flight_steps=f > 0): a leg's swing spans its own liftoff,
+    flight, the OTHER stance, and the second flight — p+2f steps — and the
+    two legs' swings start at different cycle points (left at step p,
+    right at 2p+f of the 2(p+f) cycle), so the clock is per-leg. During
+    the leg's own stance the fraction clips at 1 (callers gate all swing
+    quantities by the contact flag, so the value there is unused).
+
+    ``side``: +1 = left (leg 0), -1 = right (leg 1) — the same convention
+    as control/lowlevel.py and swing_target_xy.
+    """
+    p = gait.steps_per_phase if gait is not None else mpc.h // 2
+    f = gait.flight_steps if gait is not None else 0
+    if f == 0:
+        t_p = phase_time(mpc, gait)
+        u = jnp.remainder(jnp.asarray(t, dtype), t_p)
+        return u / t_p, t_p
+    period = (2 * (p + f)) * mpc.dt
+    T_sw = (p + 2 * f) * mpc.dt
+    start = jnp.where(
+        jnp.asarray(side, dtype) > 0, p * mpc.dt, (2 * p + f) * mpc.dt
+    )
+    u = jnp.remainder(jnp.asarray(t, dtype) - start, period)
+    return jnp.clip(u / T_sw, 0.0, 1.0), T_sw

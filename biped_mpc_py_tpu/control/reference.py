@@ -79,6 +79,10 @@ def com_reference(
         # zero-command axis keeps its position-hold stiffness
         v_cmd = v_cmd.at[3:5].add(v_int)
     pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
+    # z_ground enters only the HELD z row: terrain-adaptive height assumes
+    # a zero-vz height command. With v_cmd_raw[5] != 0 the z reference
+    # integrates from absolute feedback (x_fb z is already terrain-
+    # inclusive), where adding z_ground would double-count ground height.
     pose_cmd = mpc.x_cmd[:6].at[5].add(z_ground)
     pose_hold = jnp.broadcast_to(pose_cmd[:, None], (6, h))
     pose = jnp.where(v_cmd_raw[:, None] != 0, pose_int, pose_hold)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
-from biped_mpc_py_tpu.control.gait import phase_time
+from biped_mpc_py_tpu.control.gait import phase_time, swing_clock
 from biped_mpc_py_tpu.control.reference import _raibert_xy
 
 Y_OFFSET = 0.04  # lateral swing-target offset [m] (reference ``:427``)
@@ -41,7 +41,7 @@ def swing_target_xy(
     )
 
 
-def swing_phase_z(t, mpc: MpcConfig, gait: GaitConfig | None, dtype):
+def swing_phase_z(t, mpc: MpcConfig, gait: GaitConfig | None, dtype, side=None):
     """Swing-apex height profile at time t within the current phase.
 
     Reference ``:436-437``: ``swingHeight * sin(pi t/T)`` with the
@@ -54,7 +54,23 @@ def swing_phase_z(t, mpc: MpcConfig, gait: GaitConfig | None, dtype):
     MuJoCo's stick friction that impact couples into a tangential drag
     impulse, the named suspect for the chaotic-marginal walking branch,
     docs/DESIGN_NOTES.md).
+
+    Running gaits (``gait.flight_steps > 0``) use the per-leg clock
+    (gait.py::swing_clock) over the longer p+2f-step swing — pass
+    ``side`` (+1 left / -1 right) there; the walking path below is the
+    round-3 computation verbatim (bit-identical goldens).
     """
+    if gait is not None and gait.flight_steps > 0:
+        assert side is not None, "running gait needs the per-leg clock"
+        frac, _ = swing_clock(t, mpc, gait, side, dtype)
+        # complete the descent at swing_land_frac of the window (< 1 =
+        # early touchdown, covering the PD's ~kd·v/kp tracking lag — see
+        # MpcConfig.swing_land_frac)
+        frac = jnp.clip(frac / mpc.swing_land_frac, 0.0, 1.0)
+        s = jnp.sin(jnp.pi * frac)
+        if mpc.swing_z_sin2:
+            return mpc.swing_height * s * s
+        return mpc.swing_height * s
     t_p = phase_time(mpc, gait)
     t_phase = jnp.remainder(jnp.asarray(t, dtype), t_p)
     s = jnp.sin(jnp.pi * t_phase / t_p)
@@ -82,15 +98,18 @@ def swing_leg_force(
     that velocity — is suppressed. 0 (default) = the reference's plain PD.
     """
     fx, fy = swing_target_xy(x_fb, mpc, side, gait)
-    fz = swing_phase_z(t, mpc, gait, x_fb.dtype)
+    fz = swing_phase_z(t, mpc, gait, x_fb.dtype, side=side)
     if terrain is not None:
         # swing apex rides the LOCAL terrain surface under the target
         # (terrain-adaptive references, round 3)
         fz = fz + terrain.height(fx, fy)
     foot_des = jnp.stack([fx, fy, fz])
     f = mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (-vf_w)
-    t_p = phase_time(mpc, gait)
-    frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
+    if gait is not None and gait.flight_steps > 0:
+        frac, _ = swing_clock(t, mpc, gait, side, x_fb.dtype)
+    else:
+        t_p = phase_time(mpc, gait)
+        frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
     ramp = jnp.square(jnp.clip((frac - 0.6) / 0.4, 0.0, 1.0))
     damp = mpc.swing_td_damp * ramp
     return f - damp * jnp.concatenate([vf_w[:2], jnp.zeros(1, x_fb.dtype)])

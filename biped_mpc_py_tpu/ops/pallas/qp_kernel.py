@@ -268,7 +268,7 @@ def fused_qp_solve(
     sigma: float = 1e-6,
     alpha: float = 1.6,
     polish: bool = True,
-    block_envs: int = 4,
+    block_envs: int | None = None,
     interpret: bool = False,
 ):
     """Solve a batch of Ruiz-scaled box-QPs with the fused kernel.
@@ -276,14 +276,19 @@ def fused_qp_solve(
     The (near-)equality rows (u - l < 1e-6) get the OSQP 1e3 rho boost, as
     in ops/qp.py. Returns (x (N,120), z (N,m), y (N,m)) — scaled space.
 
-    ``block_envs=4`` is the largest hardware-safe block: the kernel scopes
-    ~11.4 MB of VMEM per env pair at the MPC problem size, so block 8
-    (22.8 MB) exceeds the 16 MB per-core VMEM limit and fails Mosaic
-    compilation (measured; docs/DESIGN_NOTES.md "Backend selection").
+    ``block_envs`` defaults by constraint-row padding: the kernel scopes
+    ~11.4 MB of VMEM per 4-env block at M_PAD=256 (the 24-row problem,
+    measured — block 8 = 22.8 MB exceeds the 16 MB per-core VMEM limit and
+    fails Mosaic compilation; docs/DESIGN_NOTES.md "Backend selection").
+    With the torsional cone enabled (mpc.mu_z, m_step=28) M_PAD grows to
+    384 (+50% on every M_PAD-shaped buffer), so the auto default halves to
+    block 2 to stay under the limit. Pass an explicit value to override.
     """
     N = P.shape[0]
     n, m = P.shape[1], A.shape[1]
     M_PAD = -(-m // 128) * 128  # next lane multiple (see module docstring)
+    if block_envs is None:
+        block_envs = 4 if M_PAD <= 256 else 2
     assert N % block_envs == 0, (N, block_envs)
     f32 = jnp.float32
 

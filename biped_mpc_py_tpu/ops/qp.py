@@ -91,9 +91,10 @@ def friction_rows(mu) -> jnp.ndarray:
     return F
 
 
-M_STEP = 28  # MAX constraint rows per horizon step: friction 8 + box 12 +
-#              line-foot 4 + torsional cone 4 (see m_step for the
-#              config-dependent count)
+# Constraint rows per horizon step are CONFIG-DEPENDENT — use m_step(mpc)
+# (friction 8 + box 12 + line-foot 4, + torsional cone 4 iff mpc.mu_z).
+# There is deliberately no module-level row-count constant: a fixed 28
+# would silently mis-size buffers for the 24-row (mu_z=0) problem.
 
 
 def m_step(mpc: MpcConfig) -> int:
@@ -166,6 +167,12 @@ def line_foot_rows(
     about the WRONG axis. With foot_yaw the rows use each planted foot's
     own frame Rz(psi) (a stance foot is flat on the ground, so its
     attitude is a pure z-rotation). None = reference behavior.
+
+    FLAT-GROUND ASSUMPTION: the pure Rz(psi) drops the roll/pitch tilt
+    the body-aligned default keeps via the full R. On sloped/rough
+    terrain a planted foot is not flat, so foot_frame_wrench slightly
+    mis-orients the rollover axes there — prefer the body-aligned
+    default (foot_yaw=None) when combined with terrain mode.
     """
     lt = biped.lt - 0.01
     lh = biped.lh - 0.02
@@ -681,7 +688,7 @@ def solve_qp_batch(
     mpc: MpcConfig,
     warm: QpSolution | None = None,
     backend: str = "xla",
-    block_envs: int = 4,
+    block_envs: int | None = None,
     interpret: bool = False,
 ) -> QpSolution:
     """Solve a BATCH of condensed QPs (leading env axis on every leaf).
@@ -702,7 +709,7 @@ def solve_qp_batch(
     from biped_mpc_py_tpu.ops.pallas.qp_kernel import fused_qp_solve
 
     h, nu = mpc.h, 12
-    m = qp.A_step.shape[-2]  # constraint rows per step (M_STEP)
+    m = qp.A_step.shape[-2]  # constraint rows per step (m_step(mpc))
     N = qp.P.shape[0]
     dtype = qp.P.dtype
     Ph, qh, Ah, lh, uh, D, E, c = jax.vmap(

@@ -103,7 +103,7 @@ def batched_closed_loop_tick(
     gait: GaitConfig,
     biped: BipedParams,
     backend: str = "xla",
-    block_envs: int = 4,
+    block_envs: int | None = None,
 ) -> World:
     """One fused tick for a BATCH of envs (leading axis on every leaf).
 
@@ -162,7 +162,7 @@ def batched_rollout_fn(
     mpc: MpcConfig,
     gait: GaitConfig,
     backend: str = "xla",
-    block_envs: int = 4,
+    block_envs: int | None = None,
 ):
     """Batched fused rollout over a leading env axis of (world, biped).
 

@@ -70,6 +70,10 @@ def mj_foot_forces(m, d) -> np.ndarray:
     floor_id = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "floor")
     for i in range(d.ncon):
         con = d.contact[i]
+        if con.geom1 != floor_id and con.geom2 != floor_id:
+            # foot-foot (leg-crossing) contact: not a floor reaction force,
+            # must not pollute the stance-force fidelity statistics
+            continue
         mujoco.mj_contactForce(m, d, i, buf)  # buf[0] = normal force
         g = con.geom2 if con.geom1 == floor_id else con.geom1
         name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)

@@ -157,8 +157,8 @@ def hector_model(biped: BipedParams | None = None) -> ArticulatedModel:
         yaw_b, roll_b, thigh_b, shank_b, foot_b = feet
         inertia[yaw_b] = _rod_inertia(m_yaw, 0.13, "z")
         inertia[roll_b] = _rod_inertia(m_roll, 0.05, "y")
-        inertia[thigh_b] = _rod_inertia(m_thigh, 0.22, "z")
-        inertia[shank_b] = _rod_inertia(m_shank, 0.22, "z")
+        inertia[thigh_b] = _rod_inertia(m_thigh, g.l_thigh, "z")
+        inertia[shank_b] = _rod_inertia(m_shank, g.l_shank, "z")
         inertia[foot_b] = _rod_inertia(m_foot, biped.lt + biped.lh, "x")
 
     contact_points = np.array(

@@ -106,12 +106,14 @@ def _advance_feet(
     from biped_mpc_py_tpu.control.swing import swing_phase_z, swing_target_xy
 
     contact_now = contact_sequence(t_new, mpc, gait)[0]  # (2,)
-    fz = swing_phase_z(t_new, mpc, gait, x_new.dtype)
 
     sides = jnp.array([1.0, -1.0], x_new.dtype)  # leg 0 (+y offset), leg 1
 
     def one_foot(foot3, c, side):
         fx, fy = swing_target_xy(x_new, mpc, side, gait)
+        # per-foot clock: identical for both feet while walking, per-leg
+        # for running gaits (flight_steps > 0, both feet airborne)
+        fz = swing_phase_z(t_new, mpc, gait, x_new.dtype, side=side)
         target = jnp.stack([fx, fy, fz])
         # swing: track target; stance: stay planted on the ground plane
         swing_pos = target

@@ -23,6 +23,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running battery (MuJoCo transfer/contact sweeps, long "
+        "rollouts). Quick correctness pass: pytest -m 'not slow' (<10 min); "
+        "full suite runs everything (~40 min).",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

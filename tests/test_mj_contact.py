@@ -37,7 +37,12 @@ try:
 except Exception:  # pragma: no cover
     HAVE_MUJOCO = False
 
-pytestmark = pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco missing")
+pytestmark = [
+    pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco missing"),
+    # the suite's dominant cost (~30 of 40 min): quick correctness
+    # pass = pytest -m "not slow" (see conftest marker registration)
+    pytest.mark.slow,
+]
 
 MG = 12.0 * 9.81
 

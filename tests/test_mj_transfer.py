@@ -27,7 +27,12 @@ try:
 except Exception:  # pragma: no cover
     HAVE_MUJOCO = False
 
-pytestmark = pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco missing")
+pytestmark = [
+    pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco missing"),
+    # the suite's dominant cost (~30 of 40 min): quick correctness
+    # pass = pytest -m "not slow" (see conftest marker registration)
+    pytest.mark.slow,
+]
 
 MODEL = hector_model()
 BIPED = BipedParams()
@@ -142,7 +147,10 @@ class TestPushTransfer:
     leg (the classic biped leg-crossing limit). Backward is
     phase-independent: no gain variant tried (td-damp off, rg 0.7,
     ffs 1.2, 4 shove phases) lifts -x past 0.3 — a stick-friction
-    backward-stepping limit, documented in DESIGN_NOTES."""
+    backward-stepping limit, documented in DESIGN_NOTES.
+
+    Battery: 3 seeds/cell in tools/sweep_mj_push*.py; PINNED here: 2
+    seeds/cell for suite runtime."""
 
     CASES = [(0.4, 0.0), (-0.25, 0.0), (0.0, 0.5), (0.0, -0.3)]
 
@@ -192,7 +200,10 @@ class TestCurveTransfer:
     walks wz=0.2 + vx=0.3 on 3/3 perturbed seeds in MuJoCo (yaw ~1.4 rad
     over 10 s, ~2.3 m of arc); wz=0.3 + vx=0.4 at p=2 is also 3/3.
     The fh3 unified point is curve-UNSTABLE in MuJoCo too (1/3) —
-    matching the engine, where the wrench destabilizes curves."""
+    matching the engine, where the wrench destabilizes curves.
+
+    Battery: 3 seeds in tools/sweep_mj_turn.py's curve block; PINNED
+    here: 2 seeds for suite runtime."""
 
     def test_mujoco_curve_02_03(self):
         x_cmd = jnp.zeros(12).at[5].set(0.55).at[8].set(0.2).at[9].set(0.3)
@@ -265,7 +276,10 @@ class TestTerrainTransfer:
     contact spheres: the penalty-matched soft contact penetrates past a
     5 mm sphere's center at touchdown and WEDGES in MuJoCo's hfield
     prism collider (1.7 kN garbage side-contacts — the round-3 terrain
-    block, see mjcf.py sphere_r docs)."""
+    block, see mjcf.py sphere_r docs).
+
+    Battery: 4 seeds/cell in tools/sweep_mj_terrain.py; PINNED here: 2
+    seeds/cell for suite runtime."""
 
     def test_mujoco_3cm_terrain_10s(self):
         from biped_mpc_py_tpu.sim.contact import Terrain

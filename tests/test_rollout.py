@@ -58,6 +58,7 @@ def test_velocity_command_walks_forward():
     assert float(w.sim.x_fb[3]) > 1.5  # >1.5 m in 10 s under 0.3 m/s command
 
 
+@pytest.mark.slow
 def test_lateral_velocity_command():
     """BASELINE config 3's lateral half: SUSTAINED sideways velocity
     commands (reference surface x_cmd[10], ``bipedalLocomotionMPC.py:26,

@@ -86,6 +86,7 @@ def test_articulated_fast_walk_cadence_scaled(setup):
 
 
 @pytest.mark.parametrize("vx,min_x", [(0.4, 2.5), (0.8, 5.2), (1.0, 5.5)])
+@pytest.mark.slow
 def test_articulated_fast_speed_envelope(setup, vx, min_x):
     """0.4, 0.8 and 1.0 m/s articulated walking. The p=2 (0.08 s phase)
     cadence unlocked 0.4-0.8 in round 2; round 3 added the sin^2
@@ -124,6 +125,7 @@ def test_articulated_body_frame_walk_stable(setup):
     assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
 
 
+@pytest.mark.slow
 def test_articulated_turning(setup):
     """Articulated turn-in-place at 0.3 rad/s — the round-2 VERDICT's
     done-bar (round-2 ceiling was 0.1 rad/s and believed structural).
@@ -149,6 +151,7 @@ def test_articulated_turning(setup):
     assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
 
 
+@pytest.mark.slow
 def test_articulated_turning_fast_and_curved(setup):
     """The round-3 turning envelope edge, batched in one rollout: 0.5
     rad/s turn-in-place (p=3) — sweep-validated zero-fall — plus curved
@@ -177,6 +180,7 @@ def test_articulated_turning_fast_and_curved(setup):
     assert np.hypot(x2[3], x2[4]) > 1.5, x2[3:5]
 
 
+@pytest.mark.slow
 def test_articulated_lateral_stepping(setup):
     """BASELINE config 3's lateral half on the FULL articulated stack
     (round-3; round 2 only exercised lateral shoves): sustained sideways
@@ -195,6 +199,7 @@ def test_articulated_lateral_stepping(setup):
         assert float(jnp.sqrt(w.metrics.attitude_err_sq / 250)) < 0.05
 
 
+@pytest.mark.slow
 def test_articulated_bench_budget_accuracy(setup):
     """The benched fast path keeps the articulated 0.3 m/s walk as clean
     as the default-budget stack (the SRB analog is
@@ -225,6 +230,7 @@ def test_articulated_bench_budget_accuracy(setup):
         assert float(w.metrics.res_prim_max) < 1.0, tick_kw
 
 
+@pytest.mark.slow
 def test_articulated_push_recovery(setup):
     """0.5 m/s shove in ALL FOUR directions, recovered in one batched
     rollout (the sweep-measured envelope: 0.5 m/s omnidirectional,
@@ -248,6 +254,7 @@ def test_articulated_push_recovery(setup):
     assert np.abs(v).max() < 0.3  # recovered, not still sliding
 
 
+@pytest.mark.slow
 def test_articulated_batched(setup):
     """Batched articulated rollouts run and match the single-env rollout."""
     biped, model = setup
@@ -308,6 +315,7 @@ def test_articulated_rough_terrain_per_env(setup):
     assert float(jnp.abs(w.sim.pos[0] - w.sim.pos[1]).max()) > 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_articulated_rollout(setup):
     """The articulated stack shards over the 8-device CPU mesh (env DP +
     psum metrics), matching the vmap result."""
@@ -341,6 +349,7 @@ def test_sharded_articulated_rollout(setup):
     )
 
 
+@pytest.mark.slow
 def test_articulated_gait_transitions(setup):
     """Runtime stand -> walk -> stand on the FULL articulated stack (the
     SRB analog is test_rollout.py::test_gait_transitions_stand_walk_stand;
@@ -368,6 +377,7 @@ def test_articulated_gait_transitions(setup):
     assert np.abs(x[9:12]).max() < 0.12  # residual sway decayed
 
 
+@pytest.mark.slow
 def test_articulated_checkpoint_resume_bit_exact(setup, tmp_path):
     """ArtWorld checkpoints like any pytree: save -> load -> resume ==
     straight run on the FULL articulated stack (SRB analog:
@@ -392,6 +402,7 @@ def test_articulated_checkpoint_resume_bit_exact(setup, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_articulated_cost_of_transport(setup):
     """Mechanical cost of transport at 0.3 m/s lands in the plausible
     small-biped band (positive joint work E/(m g d); human walking ~0.2,

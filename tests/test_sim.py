@@ -63,6 +63,7 @@ def test_free_fall_is_ballistic(model):
     assert float(jnp.abs(s1.q - s.q).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_momentum_conservation_in_flight(model):
     """With no gravity, contact, damping: spatial momentum is conserved."""
     m0 = dataclasses.replace(model, joint_damping=0.0)
@@ -276,6 +277,7 @@ class TestMujocoOracle:
 
 
 @pytest.mark.skipif(not HAVE_MUJOCO, reason="mujoco not installed")
+@pytest.mark.slow
 def test_replay_export_roundtrip(model, tmp_path):
     """sim/replay.py: an exported rollout (model.xml + traj.npz) reloads
     in stock MuJoCo and replays — frames land the torso at walking

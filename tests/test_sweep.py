@@ -36,6 +36,7 @@ def test_stack_configs_rejects_static_mismatch():
         stack_configs([base, other])
 
 
+@pytest.mark.slow
 def test_art_sweep_runs_config_batch():
     """3 configs x perturbed worlds roll forward in ONE vmapped program and
     produce per-config metrics."""
