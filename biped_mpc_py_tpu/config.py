@@ -81,6 +81,20 @@ class MpcConfig:
     # foot's tangential velocity before impact (suppresses the
     # stick-friction drag impulse at touchdown). 0 = reference behavior.
     swing_td_damp: float = 0.0
+    # Swing TRACKING velocity feedforward (round 4; no reference analog).
+    # The reference's swing PD damps ABSOLUTE foot velocity
+    # (``kd·(0 − v_f)``, ``bipedalLocomotionMPC.py:439``) — i.e. it drags
+    # against any foot motion, including motion along the trajectory. At
+    # walking speeds that reads as damping; at running swing speeds
+    # (foot ~2 m/s world) it IS the tracking lag: measured at a 1.3 m/s
+    # run command the sole reaches its apex half a swing late and is
+    # still airborne at the scheduled touchdown (the round-4 missed-
+    # touchdown fall mode). swing_track_ff in [0, 1] blends the damping
+    # set-point from zero to the TARGET velocity (Raibert xy target
+    # moves with the body -> v_des_xy = v_com; z profile has a closed-
+    # form derivative): ``kd·(ff·v_des − v_f)``. 0 (default) = the
+    # reference map, bit-identical.
+    swing_track_ff: float = 0.0
     # Fraction of the swing window by which the z-profile completes its
     # descent (RUNNING gaits only — consumed solely on the
     # flight_steps > 0 path of control/swing.py::swing_phase_z). The

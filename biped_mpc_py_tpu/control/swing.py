@@ -79,6 +79,36 @@ def swing_phase_z(t, mpc: MpcConfig, gait: GaitConfig | None, dtype, side=None):
     return mpc.swing_height * s
 
 
+def swing_phase_z_vel(t, mpc: MpcConfig, gait: GaitConfig | None, dtype,
+                      side=None):
+    """Time derivative of :func:`swing_phase_z` [m/s] (closed form).
+
+    Consumed by the swing tracking feedforward (MpcConfig.swing_track_ff):
+    the damping set-point becomes the profile's own descent/ascent rate
+    instead of zero. Matches each branch of swing_phase_z exactly:
+    walking ``d/dt H sin(pi u/T) = H pi/T cos(...)`` (sin²:
+    ``H pi/T sin(2 pi u/T)``); running compresses the argument by
+    swing_land_frac and holds 0 after the descent completes.
+    """
+    if gait is not None and gait.flight_steps > 0:
+        assert side is not None, "running gait needs the per-leg clock"
+        frac, T_sw = swing_clock(t, mpc, gait, side, dtype)
+        g = frac / mpc.swing_land_frac
+        rate = jnp.pi / (T_sw * mpc.swing_land_frac)
+        gc = jnp.clip(g, 0.0, 1.0)
+        if mpc.swing_z_sin2:
+            dz = mpc.swing_height * rate * jnp.sin(2.0 * jnp.pi * gc)
+        else:
+            dz = mpc.swing_height * rate * jnp.cos(jnp.pi * gc)
+        return jnp.where(g < 1.0, dz, jnp.zeros_like(dz))
+    t_p = phase_time(mpc, gait)
+    u = jnp.remainder(jnp.asarray(t, dtype), t_p)
+    rate = jnp.pi / t_p
+    if mpc.swing_z_sin2:
+        return mpc.swing_height * rate * jnp.sin(2.0 * rate * u)
+    return mpc.swing_height * rate * jnp.cos(rate * u)
+
+
 def swing_leg_force(
     x_fb: jnp.ndarray,
     t,
@@ -104,7 +134,13 @@ def swing_leg_force(
         # (terrain-adaptive references, round 3)
         fz = fz + terrain.height(fx, fy)
     foot_des = jnp.stack([fx, fy, fz])
-    f = mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (-vf_w)
+    # tracking velocity feedforward (MpcConfig.swing_track_ff): the Raibert
+    # xy target rides the body (v_des_xy = v_com) and the z profile's rate
+    # is closed-form; ff=0 reduces to the reference's absolute-velocity
+    # damping kd·(0 − v_f) bit-for-bit.
+    dfz = swing_phase_z_vel(t, mpc, gait, x_fb.dtype, side=side)
+    v_des = mpc.swing_track_ff * jnp.stack([x_fb[9], x_fb[10], dfz])
+    f = mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (v_des - vf_w)
     if gait is not None and gait.flight_steps > 0:
         frac, _ = swing_clock(t, mpc, gait, side, x_fb.dtype)
     else:

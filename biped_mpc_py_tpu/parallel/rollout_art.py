@@ -126,6 +126,37 @@ def art_config_for_speed(speed: float, **overrides):
     return mpc, gait_for_speed(s)
 
 
+def art_config_for_run(speed: float, **overrides):
+    """(MpcConfig, GaitConfig) for the RUNNING gait (flight_steps=1):
+    aerial phases between stances (config.GaitConfig.flight_steps).
+
+    The round-4 measured operating point (tools/sweep_run.py; engine,
+    cold start, 10 s, +-2e-3 rad perturbations): p=2 f=1 cycle (0.08 s
+    stance / 0.04 s flight), apex 0.08 with the early-landing profile
+    (swing_land_frac 0.8 — the swing PD's descent lag otherwise leaves
+    the sole ~2-3 cm airborne at the scheduled touchdown, fatal with no
+    second foot down), stance width 0.06 (running's 1/3 per-leg stance
+    duty halves lateral placement authority — 0.04 roll-diverges), the
+    swing tracking velocity feedforward (swing_track_ff=1 — without it
+    the foot tracks half a swing late at >= 1.3 m/s commands), and the
+    soft 0.85 neutral-point shift. Zero-fall to 1.2 m/s commanded;
+    realized speed is attractor-dependent (see DESIGN_NOTES round 4:
+    the running transport analysis) — sustained ~0.65, transient
+    sprints to ~1.0.
+    """
+    x_cmd = jnp.zeros(12).at[5].set(0.55).at[9].set(float(speed))
+    kw = dict(
+        swing_z_sin2=True, swing_height=0.08, raibert_capture_gain=0.3,
+        swing_land_frac=0.8, swing_y_offset=0.06, raibert_ff_scale=0.85,
+        swing_track_ff=1.0,
+    )
+    kw.update(overrides)
+    return (
+        art_mpc_config(x_cmd=x_cmd, **kw),
+        GaitConfig(steps_per_phase=2, flight_steps=1),
+    )
+
+
 def art_config_for_turn(wz: float, vx: float = 0.0, **overrides):
     """(MpcConfig, GaitConfig) tuned for a commanded turn rate [rad/s],
     optionally while walking forward at ``vx`` [m/s].

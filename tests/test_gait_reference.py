@@ -135,3 +135,68 @@ def test_foot_reference_bugfix_only_changes_y2():
     diff = f_fix != f_bug
     assert diff[:, :8].sum() == 0  # current + foot_1 columns identical
     assert set(np.nonzero(diff[:, 8:])[0]) <= {1, 4}  # only y rows differ
+
+
+def test_running_contact_sequence_and_swing_clock():
+    """The flight-phase (running) schedule, GaitConfig.flight_steps (round 4).
+
+    p=2 f=1: cycle [L L _ R R _] (period 6, neither foot down on the
+    flight steps); f=0 must be BIT-identical to the walking formula; the
+    per-leg swing clock covers each leg's p+2f-step swing and agrees with
+    the shared walking clock inside every swing window.
+    """
+    from biped_mpc_py_tpu.control.gait import swing_clock
+
+    mpc = MpcConfig()
+    run = GaitConfig(steps_per_phase=2, flight_steps=1)
+    c = np.array(contact_sequence(0.0, mpc, run))
+    np.testing.assert_array_equal(c[:, 0], [1, 1, 0, 0, 0, 0, 1, 1, 0, 0])
+    np.testing.assert_array_equal(c[:, 1], [0, 0, 0, 1, 1, 0, 0, 0, 0, 1])
+    # flight steps: both flags zero exactly on s % 6 in {2, 5}
+    assert (c.sum(axis=1) == np.array([1, 1, 0, 1, 1, 0, 1, 1, 0, 1])).all()
+
+    # f=0 reduces bit-identically to walking at every cadence/phase
+    for p in (2, 3, 5):
+        for t in np.arange(0.0, 1.0, 0.04):
+            walk = GaitConfig(steps_per_phase=p)
+            zero = GaitConfig(steps_per_phase=p, flight_steps=0)
+            np.testing.assert_array_equal(
+                np.array(contact_sequence(jnp.float32(t), mpc, walk)),
+                np.array(contact_sequence(jnp.float32(t), mpc, zero)),
+            )
+
+    # per-leg clock: left swing spans cycle steps [2, 6) (p+2f=4 steps);
+    # right touches down at step 3 and lifts off at step 5
+    fl, T = swing_clock(0.081, mpc, run, +1.0, jnp.float32)
+    fr, _ = swing_clock(0.081, mpc, run, -1.0, jnp.float32)
+    assert abs(float(T) - 0.16) < 1e-6
+    assert float(fl) < 0.05  # left just lifted off (swing starts at 0.08)
+    assert 0.7 < float(fr) < 0.8  # right in late swing, lands at 0.12
+    # walking (f=0): shared clock equals the legacy t mod t_p fraction
+    g0 = GaitConfig(steps_per_phase=5)
+    f0, T0 = swing_clock(0.13, mpc, g0, -1.0, jnp.float32)
+    assert abs(float(T0) - 0.2) < 1e-6
+    np.testing.assert_allclose(float(f0), (0.13 % 0.2) / 0.2, rtol=1e-5)
+
+
+def test_swing_phase_z_vel_matches_numeric_derivative():
+    """swing_phase_z_vel is the exact derivative of swing_phase_z on both
+    branches (walking shared clock; running per-leg clock with the
+    early-landing compression)."""
+    from biped_mpc_py_tpu.control.swing import swing_phase_z, swing_phase_z_vel
+
+    eps = 1e-4
+    for sin2 in (False, True):
+        mpc = dataclasses.replace(
+            MpcConfig(), swing_z_sin2=sin2, swing_land_frac=0.8
+        )
+        for gait, side in (
+            (GaitConfig(steps_per_phase=5), None),
+            (GaitConfig(steps_per_phase=2, flight_steps=1), +1.0),
+            (GaitConfig(steps_per_phase=2, flight_steps=1), -1.0),
+        ):
+            for t in (0.013, 0.05, 0.11, 0.17):
+                z0 = float(swing_phase_z(t - eps, mpc, gait, jnp.float32, side=side))
+                z1 = float(swing_phase_z(t + eps, mpc, gait, jnp.float32, side=side))
+                dz = float(swing_phase_z_vel(t, mpc, gait, jnp.float32, side=side))
+                np.testing.assert_allclose(dz, (z1 - z0) / (2 * eps), atol=2e-2)

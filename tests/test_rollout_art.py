@@ -421,3 +421,42 @@ def test_articulated_cost_of_transport(setup):
     d = float(w.sim.pos[0])
     cot = float(cost_of_transport(w.metrics.energy, 12.0, d))
     assert 0.2 < cot < 5.0, (cot, float(w.metrics.energy), d)
+
+
+@pytest.mark.slow
+def test_articulated_running_gait(setup):
+    """RUNNING (flight-phase) gait on the full articulated stack (round 4,
+    GaitConfig.flight_steps): the art_config_for_run operating point at a
+    1.2 m/s command runs 10 s with zero falls and GENUINE aerial phases
+    (both soles airborne ~24% of steady-state ticks; scheduled flight
+    duty is 1/3, reduced by the deliberate early landings). Peak speed
+    exceeds 1.0 m/s transiently; sustained realized ~0.65 — the running
+    transport analysis is in DESIGN_NOTES round 4. Battery: 5 perturbed
+    seeds zero-fall at 1.0 AND 1.2 in tools/sweep_run.py; PINNED here:
+    one deterministic rollout + a 50-tick flight-fraction sample."""
+    from biped_mpc_py_tpu.parallel.rollout_art import (
+        art_closed_loop_tick,
+        art_config_for_run,
+    )
+    from biped_mpc_py_tpu.sim.engine import sole_positions
+
+    biped, model = setup
+    mpc, gait = art_config_for_run(1.2)
+    f = jax.jit(art_rollout_fn(200, mpc, gait, model=model))
+    w = f(init_art_world(mpc), biped)
+    assert float(w.metrics.falls) == 0
+    x = np.array(w.sim.torso_state())
+    assert x[3] > 4.5, x[3]  # > 0.56 m/s realized over the first 8 s
+
+    # steady-state flight fraction: both soles > 5 mm
+    tick = jax.jit(
+        lambda ww: art_closed_loop_tick(ww, mpc, gait, biped, model)
+    )
+    flight = 0
+    for _ in range(50):
+        w = tick(w)
+        s = np.array(sole_positions(model, w.sim)).reshape(2, 3)
+        if s[0, 2] > 0.005 and s[1, 2] > 0.005:
+            flight += 1
+    assert float(w.metrics.falls) == 0
+    assert flight >= 8, flight  # genuine aerial phases (~12/50 expected)
