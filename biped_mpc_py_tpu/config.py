@@ -168,6 +168,19 @@ class MpcConfig:
     # for the HECTOR line foot is ~mu*(lt+lh)/2 = 0.035; None (default) =
     # rows disabled (reference semantics — the 33.5 N m box alone).
     mu_z: float | None = struct.field(pytree_node=False, default=None)
+    # Line-foot rollover lever-arm margins [m] (ops/qp.py::
+    # line_foot_rows): effective toe/heel levers are lt - lf_toe_shrink /
+    # lh - lf_heel_shrink. Defaults = the reference's (0.01, 0.02)
+    # (``bipedalLocomotionMPC.py:254-255``). The reference heel margin
+    # eats 40% of the 0.05 m heel — measured (round 4,
+    # tools/sweep_mj_push3.py) as THE binding constraint of backward push
+    # recovery: the stance foot's heel row sits ACTIVE every tick of a
+    # backward recovery, capping the nose-up CoP authority at
+    # 0.03·f_z N·m while the toe keeps 0.08·f_z (the +x 0.4 / -x 0.25
+    # envelope asymmetry). A smaller heel margin (e.g. 0.01 -> 0.04
+    # lever) is still inside the physical support polygon.
+    lf_toe_shrink: float = 0.01
+    lf_heel_shrink: float = 0.02
     # Yaw-axis leak rate of the body-frame command anchor
     # (controller.advance_cmd_ref); x/y keep CMD_REF_LEAK. A slower yaw
     # leak holds heading error longer (more integral authority against the

@@ -150,7 +150,8 @@ def _rz(psi):
 
 
 def line_foot_rows(
-    biped: BipedParams, R: jnp.ndarray, foot_yaw: jnp.ndarray | None = None
+    biped: BipedParams, R: jnp.ndarray, foot_yaw: jnp.ndarray | None = None,
+    shrink: tuple | None = None,
 ) -> jnp.ndarray:
     """Line-foot (toe/heel rollover) rows (4,12).
 
@@ -173,9 +174,15 @@ def line_foot_rows(
     terrain a planted foot is not flat, so foot_frame_wrench slightly
     mis-orients the rollover axes there — prefer the body-aligned
     default (foot_yaw=None) when combined with terrain mode.
+
+    ``shrink``: (toe, heel) lever-arm margins [m]; None = the reference's
+    (0.01, 0.02). See MpcConfig.lf_toe_shrink/lf_heel_shrink — the
+    reference heel margin eats 40% of the 0.05 m heel, the measured
+    binding constraint of backward push recovery (round 4).
     """
-    lt = biped.lt - 0.01
-    lh = biped.lh - 0.02
+    toe_s, heel_s = (0.01, 0.02) if shrink is None else shrink
+    lt = biped.lt - toe_s
+    lh = biped.lh - heel_s
     if foot_yaw is None:
         a_l = a_r = R[:, 2]  # ([0,0,1] @ Rᵀ)_j = R[j,2]: third column
         b_l = b_r = R[:, 1]  # ([0,1,0] @ Rᵀ)_j = R[j,1]: second column
@@ -360,7 +367,10 @@ def condense(
         RzR = _rz(foot_yaw[1]).astype(dtype)
         box = box.at[6:9, 6:9].set(RzL.T).at[9:12, 9:12].set(RzR.T)
     rows = [friction_rows(biped.mu).astype(dtype), box,
-            line_foot_rows(biped, R, foot_yaw).astype(dtype)]
+            line_foot_rows(
+                biped, R, foot_yaw,
+                shrink=(mpc.lf_toe_shrink, mpc.lf_heel_shrink),
+            ).astype(dtype)]
     if mpc.mu_z is not None:
         rows.append(torsional_rows(mpc).astype(dtype))
     A_step = jnp.concatenate(rows, axis=0)

@@ -149,6 +149,16 @@ class TestPushTransfer:
     ffs 1.2, 4 shove phases) lifts -x past 0.3 — a stick-friction
     backward-stepping limit, documented in DESIGN_NOTES.
 
+    ROUND 4 closed the -x mechanism (tools/sweep_mj_push3.py): the
+    stance foot's line-foot HEEL row sits ACTIVE every tick of a
+    backward recovery — the QP saturates nose-up CoP authority at the
+    reference's shrunk 0.03 m heel lever (toe keeps 0.08: the +x/-x
+    asymmetry). Widening the margin (lf_heel_shrink 0.02 -> 0.015,
+    lever 0.035) lifts -x 0.3 from 1/3 to 3/3 seeds; more (0.005-0.01)
+    tips the foot during plain walking, and -x 0.35 remains 0-1/3 under
+    every rebound knob — the surviving limit is the post-recovery
+    forward-overshoot oscillation, also instrumented in DESIGN_NOTES.
+
     Battery: 3 seeds/cell in tools/sweep_mj_push*.py; PINNED here: 2
     seeds/cell for suite runtime."""
 
@@ -166,6 +176,22 @@ class TestPushTransfer:
                     dq0=dq, shove=(50, dvx, dvy),
                 )
                 assert not fell, (dvx, dvy, seed)
+
+    def test_backward_push_03_with_heel_margin(self):
+        """-x 0.3 at the round-4 heel margin (battery 3/3; pinned 2
+        seeds): the heel-CoP mechanism fix in action — the same shove
+        that recovers 1/3 at the reference margin."""
+        mpc = art_mpc_config(
+            x_cmd=jnp.zeros(12).at[5].set(0.55), lf_heel_shrink=0.015,
+            **ORACLE_MPC,
+        )
+        for seed in range(2):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, _, fell = run_mujoco_closed_loop(
+                mpc, GaitConfig(), 150, model=MODEL, biped=BIPED,
+                dq0=dq, shove=(50, -0.3, 0.0),
+            )
+            assert not fell, seed
 
 
 class TestTransitionTransfer:

@@ -1,0 +1,156 @@
+"""MuJoCo 4 cm terrain-gap diagnosis (round 4, VERDICT item 3).
+
+Round 3 measured: engine 8/8 fields at 4 cm, MuJoCo 2/4 (3 cm is 4/4).
+This instruments the failing MuJoCo hfield runs the way the flat-ground
+chaotic branch was cracked: per tick, log per-foot normal force (impact
+impulses at touchdown), the local terrain height and SLOPE under each
+sole, and the fall cascade's first anomaly. Groups:
+
+  diag   — verbose single-seed traces on the failing fields
+  cells  — the 4-seed battery at 4 cm with the candidate fixes
+           (terrain-slope-aware foothold shift, config.foothold_adapt)
+
+Usage: python tools/sweep_mj_terrain2.py [diag|cells ...] [seed]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from biped_mpc_py_tpu.config import GaitConfig  # noqa: E402
+from biped_mpc_py_tpu.parallel.rollout_art import art_mpc_config  # noqa: E402
+from biped_mpc_py_tpu.sim.contact import Terrain  # noqa: E402
+from biped_mpc_py_tpu.sim.mj_driver import run_mujoco_closed_loop  # noqa: E402
+
+SCALE = 2e-3
+ORACLE = dict(
+    kp_hipyaw=3.0, kd_hipyaw=0.4, tau_z_max=4.0, swing_td_damp=8.0,
+    swing_z_sin2=True,
+)
+AMP = 0.04
+
+
+def diag(seed: int):
+    """Verbose trace of one 4 cm field: forces + local slope per tick."""
+    import mujoco
+
+    from biped_mpc_py_tpu.control.controller import (
+        ControllerState, advance_cmd_ref, advance_v_int,
+    )
+    from biped_mpc_py_tpu.control.gait import contact_sequence
+    from biped_mpc_py_tpu.control.lowlevel import low_level_control
+    from biped_mpc_py_tpu.control.mpc import solve_mpc
+    from biped_mpc_py_tpu.models.biped import BipedParams
+    from biped_mpc_py_tpu.sim.engine import ArtState, feedback_and_soles
+    from biped_mpc_py_tpu.sim.mj_driver import (
+        MJ_DT, MJ_PER_LL, N_LL, mj_foot_forces, state_from_mj,
+    )
+    from biped_mpc_py_tpu.sim.mjcf import (
+        penalty_matched_solref, set_hfield_data, to_mjcf,
+    )
+    from biped_mpc_py_tpu.sim.model import hector_model
+
+    model, biped = hector_model(), BipedParams()
+    mpc = art_mpc_config(x_cmd=jnp.zeros(12).at[5].set(0.55), **ORACLE)
+    gait = GaitConfig()
+    terr = Terrain.rough(jax.random.PRNGKey(100 + seed), amplitude=AMP)
+    m = mujoco.MjModel.from_xml_string(
+        to_mjcf(model, MJ_DT, contact=True,
+                solref=penalty_matched_solref(model), terrain=terr,
+                sphere_r=0.02)
+    )
+    set_hfield_data(m, terr)
+    d = mujoco.MjData(m)
+    s0 = ArtState.standing()
+    d.qpos[0:3] = np.array(s0.pos)
+    d.qpos[3:7] = np.array(s0.quat)
+    d.qpos[7:17] = np.array(s0.q)
+    d.qpos[7:17] += SCALE * np.random.default_rng(seed).standard_normal(10)
+
+    fb = jax.jit(lambda s: feedback_and_soles(model, s))
+    solve = jax.jit(
+        lambda x, t, pf, c, w, r, vi: solve_mpc(
+            x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
+            v_int=vi, terrain=terr,
+        )
+    )
+    lowlvl = jax.jit(
+        lambda x, t, pf, q, qd, c, u0, r: low_level_control(
+            x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r,
+            terrain=terr,
+        )
+    )
+    slope = jax.jit(
+        lambda x, y: jnp.degrees(jnp.arccos(terr.normal(x, y)[..., 2]))
+    )
+    ctrl = ControllerState.init(mpc)
+    t = 0.0
+    print("tick | c | fL_pk  fR_pk |  slopeL slopeL' slopeR slopeR' | "
+          "r      p    | z")
+    for k in range(250):
+        s = state_from_mj(d, t)
+        x_fb, pf_w = fb(s)
+        contact = contact_sequence(t, mpc, gait)
+        sol = solve(x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, ctrl.v_int)
+        cmd_ref_now = ctrl.cmd_ref
+        ctrl = ControllerState(
+            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
+            v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
+        )
+        f_pk = np.zeros(2)
+        for _ in range(N_LL):
+            s = state_from_mj(d, t)
+            x_j, pf_j = fb(s)
+            tau = lowlvl(x_j, s.t, pf_j, s.q, s.qd, contact,
+                         sol.controls[0], cmd_ref_now)
+            d.qfrc_applied[6:16] = np.array(tau)
+            for _ in range(MJ_PER_LL):
+                mujoco.mj_step(m, d)
+                f_pk = np.maximum(f_pk, mj_foot_forces(m, d))
+        pf = np.array(pf_w).reshape(2, 3)
+        x = np.array(x_fb)
+        # slope under each sole center and 3 cm ahead of it
+        sl = [float(slope(pf[i, 0], pf[i, 1])) for i in range(2)]
+        sl2 = [float(slope(pf[i, 0] + 0.03, pf[i, 1])) for i in range(2)]
+        c0 = np.array(contact[0])
+        print(
+            f"{k:3d} | {c0[0]:.0f}{c0[1]:.0f} | {f_pk[0]:6.0f} {f_pk[1]:6.0f}"
+            f" | {sl[0]:5.1f} {sl2[0]:5.1f} {sl[1]:6.1f} {sl2[1]:5.1f} | "
+            f"{x[0]:+.2f} {x[1]:+.2f} | {d.qpos[2]:.3f}"
+        )
+        t += mpc.dt
+        if d.qpos[2] < 0.25 + float(terr.height(d.qpos[0], d.qpos[1])):
+            print(f"FELL at tick {k}")
+            break
+
+
+def cells(**kw):
+    """4-seed battery at 4 cm (in-place, p=5) with config overrides."""
+    mpc = art_mpc_config(x_cmd=jnp.zeros(12).at[5].set(0.55), **{**ORACLE, **kw})
+    ok = []
+    for seed in range(4):
+        terr = Terrain.rough(jax.random.PRNGKey(100 + seed), amplitude=AMP)
+        dq = SCALE * np.random.default_rng(seed).standard_normal(10)
+        _, _, fell = run_mujoco_closed_loop(
+            mpc, GaitConfig(), 250, dq0=dq, terrain=terr,
+        )
+        ok.append(not fell)
+    print(f"4cm {kw}: {sum(ok)}/4 {['ok' if o else 'FELL' for o in ok]}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["diag"]
+    if "diag" in args:
+        seed = int(args[-1]) if args[-1].isdigit() else 0
+        diag(seed)
+    if "cells" in args:
+        cells()
