@@ -168,6 +168,23 @@ class MpcConfig:
     # for the HECTOR line foot is ~mu*(lt+lh)/2 = 0.035; None (default) =
     # rows disabled (reference semantics — the 33.5 N m box alone).
     mu_z: float | None = struct.field(pytree_node=False, default=None)
+    # Touchdown OVERDRIVE [m] (round 4): lower the swing z-target below
+    # the (sampled) ground by this much over the last 40% of the swing —
+    # the same quadratic ramp as swing_td_damp. Motivation (measured,
+    # tools/sweep_mj_terrain2.py diag): on 4 cm fields the foot's actual
+    # landing xy differs from the target the height was sampled at, so
+    # the true local ground can be LOWER and the sole hangs airborne
+    # through scheduled stance ticks (zero stance force -> attitude
+    # cascade -> hfield wedge spike -> fall). Overdriving guarantees
+    # contact engagement at the scheduled time; the penalty/stick
+    # contact simply supplies the (small) extra normal force. 0 =
+    # round-3 behavior. An OPERATING-POINT knob, not a default: 0.02
+    # lifts the 4 cm MuJoCo battery 3/4 -> 4/4 but regresses 3 cm
+    # 4/4 -> 2/4 (harder touchdowns cost where misses are rare) — see
+    # DESIGN_NOTES "MuJoCo 4 cm terrain gap" for the full candidate
+    # battery, incl. the measured-negative relief-scaled and
+    # foothold-shift variants that were removed.
+    swing_td_overdrive: float = 0.0
     # Line-foot rollover lever-arm margins [m] (ops/qp.py::
     # line_foot_rows): effective toe/heel levers are lt - lf_toe_shrink /
     # lh - lf_heel_shrink. Defaults = the reference's (0.01, 0.02)

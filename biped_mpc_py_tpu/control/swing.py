@@ -148,4 +148,10 @@ def swing_leg_force(
         frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
     ramp = jnp.square(jnp.clip((frac - 0.6) / 0.4, 0.0, 1.0))
     damp = mpc.swing_td_damp * ramp
+    # touchdown overdrive (MpcConfig.swing_td_overdrive): pull the late-
+    # swing z-target below the point-sampled ground so contact engages
+    # at the scheduled time even where the true ground under the
+    # realized landing xy is lower (the 4 cm missed-touchdown cascade,
+    # DESIGN_NOTES "MuJoCo 4 cm terrain gap")
+    f = f.at[2].add(-mpc.kp_swing * mpc.swing_td_overdrive * ramp)
     return f - damp * jnp.concatenate([vf_w[:2], jnp.zeros(1, x_fb.dtype)])

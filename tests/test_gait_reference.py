@@ -200,3 +200,28 @@ def test_swing_phase_z_vel_matches_numeric_derivative():
                 z1 = float(swing_phase_z(t + eps, mpc, gait, jnp.float32, side=side))
                 dz = float(swing_phase_z_vel(t, mpc, gait, jnp.float32, side=side))
                 np.testing.assert_allclose(dz, (z1 - z0) / (2 * eps), atol=2e-2)
+
+
+def test_swing_td_overdrive_lowers_late_swing_force():
+    """swing_td_overdrive (round 4): adds a downward late-swing force
+    (kp*overdrive at touchdown), zero in early swing, zero when disabled."""
+    from biped_mpc_py_tpu.control.swing import swing_leg_force
+
+    x_fb = jnp.zeros(12).at[5].set(0.55)
+    pf = jnp.zeros(3)
+    vf = jnp.zeros(3)
+    base = MpcConfig()
+    over = dataclasses.replace(MpcConfig(), swing_td_overdrive=0.02)
+    gait = GaitConfig()
+    t_late = 0.19  # frac 0.95 of the 0.2 s phase -> ramp ~0.77
+    f0 = np.array(swing_leg_force(x_fb, t_late, pf, vf, base, 1.0, gait))
+    f1 = np.array(swing_leg_force(x_fb, t_late, pf, vf, over, 1.0, gait))
+    np.testing.assert_allclose(f1[:2], f0[:2], atol=1e-6)  # xy untouched
+    ramp = ((0.95 - 0.6) / 0.4) ** 2
+    np.testing.assert_allclose(
+        f0[2] - f1[2], base.kp_swing * 0.02 * ramp, rtol=1e-3
+    )
+    t_early = 0.05  # frac 0.25 -> ramp 0
+    e0 = np.array(swing_leg_force(x_fb, t_early, pf, vf, base, 1.0, gait))
+    e1 = np.array(swing_leg_force(x_fb, t_early, pf, vf, over, 1.0, gait))
+    np.testing.assert_array_equal(e0, e1)

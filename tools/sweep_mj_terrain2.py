@@ -8,9 +8,25 @@ sole, and the fall cascade's first anomaly. Groups:
 
   diag   — verbose single-seed traces on the failing fields
   cells  — the 4-seed battery at 4 cm with the candidate fixes
-           (terrain-slope-aware foothold shift, config.foothold_adapt)
+           (key=value pairs map onto MpcConfig overrides)
 
-Usage: python tools/sweep_mj_terrain2.py [diag|cells ...] [seed]
+Usage:
+  python tools/sweep_mj_terrain2.py diag [seed]
+  python tools/sweep_mj_terrain2.py cells [amp=0.04] [k=v ...]
+
+Measured (round 4, this battery): baseline 3/4 at 4 cm (seed 1 falls —
+the diag trace shows a missed-touchdown cascade: scheduled stance ticks
+with ZERO contact force because the sole hangs over locally-lower
+ground, pitch diverges, then 13.5 kN hfield wedge spikes finish it);
+swing_td_overdrive=0.01 3/4, **=0.02 4/4** (driving the late-swing
+z-target 2 cm below the sampled ground guarantees engagement at the
+scheduled time) — but 0.02 REGRESSES 3 cm 4/4 -> 2/4: an
+operating-point knob. Two candidates measured negative and removed
+from the config surface (DESIGN_NOTES "MuJoCo 4 cm terrain gap" has
+the full table): foothold adaptation toward flatter ground (60 -> 3/4,
+120 -> 2/4) and relief-scaled overdrive (2/4 at 4 cm, identical with
+the push capped at 0.02 — the misses happen where the ±4 cm
+neighborhood looks flat).
 """
 
 import os
@@ -132,25 +148,30 @@ def diag(seed: int):
             break
 
 
-def cells(**kw):
-    """4-seed battery at 4 cm (in-place, p=5) with config overrides."""
+def cells(amp=AMP, **kw):
+    """4-seed battery (in-place) at `amp` with MpcConfig overrides."""
     mpc = art_mpc_config(x_cmd=jnp.zeros(12).at[5].set(0.55), **{**ORACLE, **kw})
     ok = []
     for seed in range(4):
-        terr = Terrain.rough(jax.random.PRNGKey(100 + seed), amplitude=AMP)
+        terr = Terrain.rough(jax.random.PRNGKey(100 + seed), amplitude=amp)
         dq = SCALE * np.random.default_rng(seed).standard_normal(10)
         _, _, fell = run_mujoco_closed_loop(
             mpc, GaitConfig(), 250, dq0=dq, terrain=terr,
         )
         ok.append(not fell)
-    print(f"4cm {kw}: {sum(ok)}/4 {['ok' if o else 'FELL' for o in ok]}",
-          flush=True)
+        print(f"  {amp * 100:.0f}cm {kw} seed {seed}: "
+              f"{'ok' if ok[-1] else 'FELL'}", flush=True)
+    print(f"{amp * 100:.0f}cm {kw}: {sum(ok)}/4 "
+          f"{['ok' if o else 'FELL' for o in ok]}", flush=True)
 
 
 if __name__ == "__main__":
     args = sys.argv[1:] or ["diag"]
-    if "diag" in args:
+    if args[0] == "diag":
         seed = int(args[-1]) if args[-1].isdigit() else 0
         diag(seed)
-    if "cells" in args:
-        cells()
+    elif args[0] == "cells":
+        kw = dict(kv.split("=") for kv in args[1:])
+        cells(**{k: float(v) for k, v in kw.items()})
+    else:
+        raise SystemExit(f"unknown group {args[0]!r} (diag|cells)")
