@@ -374,6 +374,25 @@ class GaitConfig:
     # point, so the swing clock is per-leg (control/gait.py::swing_clock).
     # 0 (default) = walking, bit-identical to the round-3 behavior.
     flight_steps: int = struct.field(pytree_node=False, default=0)
+    # CONTACT-SENSED gait clock (round 4; no reference analog — the
+    # reference's scheduler is a fixed wall-clock table, ``:50-59``).
+    # When True, the schedule/swing clocks run on a gait-local time
+    # carried in ControllerState (t_gait) that HOLDS at the last step
+    # before a stance window whose foot has no measured ground contact
+    # (sole height, control/gait.py::measured_contact), so a late
+    # touchdown SHIFTS the stance window instead of consuming it. This
+    # is the touchdown-triggered schedule re-anchoring the round-4
+    # running transport analysis called for (DESIGN_NOTES "Where flight
+    # breaks"): with the fixed clock, running touchdowns land ~1 MPC
+    # step late and the effective support duty halves. False (default)
+    # = the reference's fixed-clock semantics, bit-identical traces.
+    contact_clock: bool = struct.field(pytree_node=False, default=False)
+    # max CONSECUTIVE held ticks per stance entry (bounds the wait so a
+    # foot that never lands — trip, fall — cannot freeze the gait)
+    clock_max_hold: int = struct.field(pytree_node=False, default=3)
+    # sole-height-above-ground threshold [m] that counts as contact for
+    # the clock (terrain-relative when a Terrain is active)
+    clock_z_tol: float = 0.012
 
 
 def default_mpc_config(**overrides) -> MpcConfig:

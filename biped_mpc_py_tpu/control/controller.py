@@ -17,7 +17,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
-from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.gait import (
+    advance_gait_clock,
+    contact_sequence,
+)
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
@@ -40,6 +43,19 @@ class ControllerState:
     # velocity reference (see MpcConfig.cmd_v_int_gain; zeros when the
     # gain is 0 — the default/parity path).
     v_int: jnp.ndarray
+    # Contact-sensed gait clock (GaitConfig.contact_clock): the
+    # gait-local time USED last tick. Read/advanced ONLY when the flag
+    # is on (control/gait.py::advance_gait_clock — loops with the flag
+    # off run on wall-clock t and leave these untouched). Default 0.0
+    # here; ``init`` seeds -mpc.dt so the first advanced value is 0.
+    t_gait: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(())
+    )
+    # consecutive held ticks (bounds the touchdown wait at
+    # GaitConfig.clock_max_hold)
+    hold_count: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
     @classmethod
     def init(cls, mpc: MpcConfig, dtype=jnp.float32) -> "ControllerState":
@@ -56,6 +72,8 @@ class ControllerState:
             ),
             cmd_ref=zero((3,), dtype),
             v_int=zero((2,), dtype),
+            t_gait=jnp.asarray(-mpc.dt, dtype),
+            hold_count=zero((), jnp.int32),
         )
 
 
@@ -136,6 +154,7 @@ def control_tick(
     gait: GaitConfig,
     biped: BipedParams,
     ctrl_state: ControllerState | None = None,
+    contact_meas: jnp.ndarray | None = None,
 ):
     """One full control tick.
 
@@ -146,24 +165,49 @@ def control_tick(
       q, qd: (10,) joint positions / velocities.
       t: scalar time [s].
       ctrl_state: previous tick's state for warm starting (None = cold).
+      contact_meas: optional (2,) measured per-foot ground-contact flags
+        (control/gait.py::measured_contact). Required when
+        ``gait.contact_clock`` is on: the schedule then runs on the
+        state-carried gait-local clock (held for late touchdowns)
+        instead of wall-clock ``t``.
 
     Returns:
       (tau (10,), new ControllerState, QpSolution).
     """
     pf_w = foot_positions_world(x_fb, q, biped)
-    contact = contact_sequence(t, mpc, gait)
     warm = None if ctrl_state is None else ctrl_state.qp
     cmd_ref = None if ctrl_state is None else ctrl_state.cmd_ref
     v_int = None if ctrl_state is None else ctrl_state.v_int
+    if gait.contact_clock:
+        if contact_meas is None:
+            raise ValueError(
+                "gait.contact_clock=True requires contact_meas"
+            )
+        if ctrl_state is None:
+            raise ValueError(
+                "gait.contact_clock=True requires ctrl_state "
+                "(ControllerState.init carries the gait clock)"
+            )
+        t_g, hold = advance_gait_clock(
+            ctrl_state.t_gait, ctrl_state.hold_count, contact_meas,
+            mpc, gait,
+        )
+    else:
+        t_g = t
+        hold = (
+            ctrl_state.hold_count if ctrl_state is not None
+            else jnp.zeros((), jnp.int32)
+        )
+    contact = contact_sequence(t_g, mpc, gait)
     foot_yaw = (
         x_fb[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
     )
     sol = solve_mpc(
-        x_fb, t, pf_w, mpc, biped, contact, warm=warm, gait=gait,
+        x_fb, t_g, pf_w, mpc, biped, contact, warm=warm, gait=gait,
         cmd_ref=cmd_ref, foot_yaw=foot_yaw, v_int=v_int,
     )
     tau = low_level_control(
-        x_fb, t, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
+        x_fb, t_g, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
         gait=gait, cmd_ref=cmd_ref,
     )
     ref_next = advance_cmd_ref(
@@ -174,4 +218,8 @@ def control_tick(
         v_int if v_int is not None else jnp.zeros(2, x_fb.dtype),
         x_fb, mpc,
     )
-    return tau, ControllerState(qp=sol, cmd_ref=ref_next, v_int=vi_next), sol
+    state_next = ControllerState(
+        qp=sol, cmd_ref=ref_next, v_int=vi_next,
+        t_gait=jnp.asarray(t_g, x_fb.dtype), hold_count=hold,
+    )
+    return tau, state_next, sol

@@ -90,6 +90,86 @@ def contact_sequence(t, mpc: MpcConfig, gait: GaitConfig) -> jnp.ndarray:
     return jnp.where(jnp.asarray(gait.gait_mode) == 1, walking, standing)
 
 
+def measured_contact(pf_w, terrain, gait: GaitConfig) -> jnp.ndarray:
+    """Per-foot ground-contact flags (2,) bool from measured sole heights.
+
+    ``pf_w``: flat (6,) world sole positions [left(3), right(3)] (the
+    controller feedback layout, sim/engine.py::feedback_and_soles).
+    Terrain-relative when a height field is active. A sole within
+    ``gait.clock_z_tol`` of the local ground counts as in contact — the
+    same geometric signal is available from the JAX engine, MuJoCo, and
+    (on hardware) any foot switch / proprioceptive contact estimate.
+    """
+    pz = jnp.stack([pf_w[2], pf_w[5]])
+    if terrain is not None:
+        pz = pz - jnp.stack(
+            [terrain.height(pf_w[0], pf_w[1]),
+             terrain.height(pf_w[3], pf_w[4])]
+        )
+    return pz < gait.clock_z_tol
+
+
+# Fractional-step bias of the contact-sensed clock (see
+# advance_gait_clock): the clock stores the exact f32 PRODUCT
+# (k + 1/16) * dt, never an accumulated sum. floor((k*dt)/dt) == k fails
+# for ~7.5% of integers in f32 (measured; e.g. k=15 with dt=0.04), so an
+# unbiased product would make phase_index land on k-1 and the hold logic
+# and realized schedule disagree at boundaries; the 1/16 bias gives every
+# downstream floor a ~0.44-step margin on both sides (robust to k ~2.6e5
+# steps — hours of sim time) at the cost of a uniform +dt/16 shift of the
+# gait-local swing clocks (1.6% of a p=2 f=1 swing; absorbed into the
+# operating point).
+_CLOCK_STEP_BIAS = 1.0 / 16.0
+
+
+def advance_gait_clock(t_gait, hold_count, down, mpc: MpcConfig,
+                       gait: GaitConfig):
+    """One-tick update of the contact-sensed gait clock -> (t_used,
+    hold_next).
+
+    ``t_gait`` is the gait-local time USED last tick; the return value
+    ``t_used`` is the time to use THIS tick (so a touchdown sensed in
+    ``down`` takes effect immediately). The clock advances by one MPC
+    step per tick EXCEPT when the next step would cross into a stance
+    window (left stance starts at cycle step 0, right at p+f —
+    :func:`contact_sequence`) whose foot has no measured contact: then it
+    holds at the last pre-stance step, up to ``gait.clock_max_hold``
+    consecutive ticks, and the whole schedule re-anchors to the real
+    touchdown. While held, the swinging foot's clock sits just short of
+    touchdown (target on the ground, still descending via the swing PD),
+    and the MPC keeps modeling the current flight/stance step.
+
+    Standing (gait_mode=0) never holds. Returned times are exact biased
+    products ``(k + 1/16) * dt`` (see ``_CLOCK_STEP_BIAS``), so
+    :func:`phase_index` on them recovers exactly ``k`` — the hold
+    decision and the realized schedule cannot disagree at a float floor
+    boundary, and the clock never drifts (no accumulation).
+    """
+    dtype = jnp.asarray(t_gait).dtype
+    # recover the integer step from the stored biased product (init
+    # seeds the un-biased -dt: floor(-1 + 0.4375) = -1 still works)
+    k = jnp.floor(
+        jnp.asarray(t_gait) / mpc.dt + (0.5 - _CLOCK_STEP_BIAS)
+    ).astype(jnp.int32)
+    p, f = gait.steps_per_phase, gait.flight_steps
+    s_next = (k + 1) % (2 * (p + f))
+    entering_l = s_next == 0
+    entering_r = s_next == (p + f)
+    wait = (entering_l & ~down[0]) | (entering_r & ~down[1])
+    wait = (
+        wait
+        & (hold_count < gait.clock_max_hold)
+        & (jnp.asarray(gait.gait_mode) == 1)
+    )
+    k_used = jnp.where(wait, k, k + 1)
+    t_used = (
+        (k_used.astype(dtype) + jnp.asarray(_CLOCK_STEP_BIAS, dtype))
+        * mpc.dt
+    )
+    hold_next = jnp.where(wait, hold_count + 1, jnp.zeros_like(hold_count))
+    return t_used, hold_next
+
+
 def swing_clock(t, mpc: MpcConfig, gait: GaitConfig | None, side, dtype):
     """Per-leg swing clock -> (phase fraction in [0, 1], swing duration T_sw).
 

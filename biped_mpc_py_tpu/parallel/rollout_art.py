@@ -23,7 +23,11 @@ from flax import struct
 
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.controller import ControllerState
-from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.gait import (
+    advance_gait_clock,
+    contact_sequence,
+    measured_contact,
+)
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
@@ -244,12 +248,22 @@ def art_closed_loop_tick(
     # positions from the simulator — the articulated analog of the
     # reference's x_fb / getFootPositionWorld inputs (ONE fused FK pass)
     x_fb, pf_w = feedback_and_soles(model, sim)
-    contact = contact_sequence(sim.t, mpc, gait)
+    if gait.contact_clock:
+        # contact-sensed schedule clock (GaitConfig.contact_clock):
+        # gait-local time held for late touchdowns, measured from the
+        # simulator's actual sole heights
+        down = measured_contact(pf_w, terrain, gait)
+        t_g, hold = advance_gait_clock(
+            world.ctrl.t_gait, world.ctrl.hold_count, down, mpc, gait
+        )
+    else:
+        t_g, hold = sim.t, world.ctrl.hold_count
+    contact = contact_sequence(t_g, mpc, gait)
     foot_yaw = (
         x_fb[2] + sim.q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
     )
     sol = solve_mpc(
-        x_fb, sim.t, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
+        x_fb, t_g, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
         gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
         terrain=terrain, v_int=world.ctrl.v_int,
     )
@@ -269,8 +283,12 @@ def art_closed_loop_tick(
         def ll_step(carry2, _):
             s2, e2 = carry2
             x, pf = feedback_and_soles(model, s2)
+            # gait-local low-level clock: wall-clock within-tick offset
+            # added onto the (possibly held) MPC gait time; identity
+            # when the contact clock is off (t_g IS sim.t there)
+            t_ll = s2.t if not gait.contact_clock else t_g + (s2.t - sim.t)
             tau = low_level_control(
-                x, s2.t, pf, s2.q, s2.qd, mpc, biped, contact, u0,
+                x, t_ll, pf, s2.q, s2.qd, mpc, biped, contact, u0,
                 gait=gait, cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
             )
             # positive mechanical joint work this period (metrics.energy)
@@ -301,7 +319,10 @@ def art_closed_loop_tick(
     ctrl_reset = ControllerState.init(mpc, dtype=sim.q.dtype)
     ctrl_next = jax.tree.map(
         lambda r, s: jnp.where(fell, r, s), ctrl_reset,
-        ControllerState(qp=sol, cmd_ref=ref_next, v_int=vi_next),
+        ControllerState(
+            qp=sol, cmd_ref=ref_next, v_int=vi_next,
+            t_gait=jnp.asarray(t_g, sim.q.dtype), hold_count=hold,
+        ),
     )
     metrics = world.metrics.update(
         sim_new.torso_state(), mpc.x_cmd, u0, sol.res_prim,

@@ -156,6 +156,10 @@ def run_mujoco_closed_loop(
     ctrl = ControllerState.init(mpc)
     forces, xs = [], []
     t = 0.0
+    # contact-sensed gait clock (GaitConfig.contact_clock): host-side
+    # mirror of control/gait.py::advance_gait_clock, with MuJoCo's REAL
+    # contact normal forces as the touchdown signal (> 5 N)
+    t_gait, hold = -mpc.dt, 0
     if gait_schedule:
         for _, g in gait_schedule:
             assert g.steps_per_phase == gait.steps_per_phase, (
@@ -176,9 +180,28 @@ def run_mujoco_closed_loop(
             d.qvel[1] += shove[2]
         s = state_from_mj(d, t)
         x_fb, pf_w = fb(s)
-        contact = contact_sequence(t, mpc, gait_now)
+        if gait_now.contact_clock:
+            # same biased-product step semantics as the jitted clock
+            # (control/gait.py::advance_gait_clock / _CLOCK_STEP_BIAS)
+            p_, f_ = gait_now.steps_per_phase, gait_now.flight_steps
+            kk = int(np.floor(t_gait / mpc.dt + 0.4375))
+            s_next = (kk + 1) % (2 * (p_ + f_))
+            down = mj_foot_forces(m, d) > 5.0
+            wait = (
+                ((s_next == 0 and not down[0])
+                 or (s_next == p_ + f_ and not down[1]))
+                and hold < gait_now.clock_max_hold
+                and gait_now.gait_mode == 1
+            )
+            k_used, hold = (kk, hold + 1) if wait else (kk + 1, 0)
+            t_gait = (k_used + 1.0 / 16.0) * mpc.dt
+            t_used = t_gait
+        else:
+            t_used = t
+        contact = contact_sequence(t_used, mpc, gait_now)
         sol = solve(
-            x_fb, t, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q, ctrl.v_int
+            x_fb, t_used, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q,
+            ctrl.v_int
         )
         # low-level uses the SAME pre-advance cmd_ref as the solve — the
         # engine tick's semantics (art_closed_loop_tick); the anchor
@@ -190,7 +213,9 @@ def run_mujoco_closed_loop(
         )
         f_acc = np.zeros(2)
         for _ in range(N_LL):
-            s = state_from_mj(d, t)
+            # gait-local time for the swing clocks (= t when the contact
+            # clock is off; s.t is the tick-start wall time either way)
+            s = state_from_mj(d, t_used)
             x_j, pf_j = fb(s)
             tau = lowlvl(
                 x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0],

@@ -12,8 +12,13 @@ engine and reproduces the measured findings in DESIGN_NOTES round 4:
                   command-ramped start at the same config (steady-state
                   speed of the last 4 s)
   group "pitch":  the pitch-authority variants (Q_pitch, nose-up ref)
+  group "clock":  contact-sensed gait clock battery (GaitConfig.
+                  contact_clock — touchdown-triggered re-anchoring),
+                  perturbation-validated falls/realized per command
+  group "clock_vss": serial steady-state speed (last 4 s) at the clock
+                  operating point
 
-Usage: python tools/sweep_run.py [cells|attr|pitch ...]
+Usage: python tools/sweep_run.py [cells|attr|pitch|clock|clock_vss ...]
 (CPU: ~2-3 min/cell on the single container core; vmap-batched on TPU
 via parallel/sweep.py-style config stacking for the "cells" group.)
 """
@@ -139,6 +144,57 @@ def pitch():
         sys.stdout.flush()
 
 
+def clock():
+    """Contact-sensed gait clock battery (GaitConfig.contact_clock):
+    perturbation-validated falls + realized speed per command, one
+    vmapped batch per gait variant (clock knobs are static fields)."""
+    biped = BipedParams()
+    for gkw in (
+        dict(clock_max_hold=2),
+        dict(clock_max_hold=2, flight_steps=2),
+    ):
+        gait = dc.replace(
+            GaitConfig(steps_per_phase=2, flight_steps=1),
+            contact_clock=True, **gkw,
+        )
+        configs, labels = [], []
+        for vx in (1.0, 1.2, 1.4):
+            for pert in range(N_PERT):
+                mpc, _ = art_config_for_run(vx)
+                configs.append(mpc)
+                labels.append((vx, pert))
+        mpc_batch, in_axes = stack_configs(configs)
+        worlds = perturbed_worlds(
+            configs[0], len(configs), jax.random.PRNGKey(29)
+        )
+        fn = jax.jit(f32_precision(art_sweep_fn(N_STEPS, gait, in_axes)))
+        t0 = time.time()
+        out = fn(worlds, biped, mpc_batch)
+        jax.block_until_ready(out)
+        falls = np.array(out.metrics.falls)
+        pos = np.array(jax.vmap(lambda s: s.torso_state()[3])(out.sim))
+        print(f"== clock {gkw} ({time.time() - t0:.0f}s) ==")
+        for vx in (1.0, 1.2, 1.4):
+            idx = [i for i, (v, _) in enumerate(labels) if v == vx]
+            print(
+                f"  vx={vx}: falls={falls[idx].sum():.0f}/{N_PERT} "
+                f"realized={pos[idx].mean() / (N_STEPS * 0.04):.3f}"
+            )
+        sys.stdout.flush()
+
+
+def clock_vss():
+    """Serial v_ss (last 4 s) at the clock operating point."""
+    for vx in (1.0, 1.2, 1.4):
+        mpc, gait = art_config_for_run(vx)
+        gait = dc.replace(gait, contact_clock=True, clock_max_hold=2)
+        falls, ft, v_ss, pitch = _serial(mpc, gait, 375, lambda i: vx)
+        print(
+            f"  clock vx={vx}: falls={falls:.0f}(@{ft}) v_ss={v_ss:.3f} "
+            f"pitch={pitch:+.3f}", flush=True,
+        )
+
+
 if __name__ == "__main__":
     groups = sys.argv[1:] or ["cells", "attr", "pitch"]
     if "cells" in groups:
@@ -149,3 +205,8 @@ if __name__ == "__main__":
     if "pitch" in groups:
         print("== pitch authority (1.2 cmd) ==")
         pitch()
+    if "clock" in groups:
+        clock()
+    if "clock_vss" in groups:
+        print("== clock v_ss (serial, last 4 s) ==")
+        clock_vss()
