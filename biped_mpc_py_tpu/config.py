@@ -255,6 +255,22 @@ class MpcConfig:
     # while v < cmd).
     cmd_v_int_gain: float = 0.0
     cmd_v_int_max: float = 0.4
+    # Where the v_int accumulator acts (round 4). cmd_v_int_ref_scale
+    # scales the MPC velocity-reference boost (1 = the round-3 behavior
+    # above; 0 = accumulate only). raibert_vint shifts the Raibert foot
+    # placement by -raibert_vint * v_int [m per m/s of integral]: when
+    # persistently slower than command the foothold moves BEHIND the
+    # neutral point (propulsive), the integral-action form of the
+    # capture term's proportional error feedback — the Raibert hopper's
+    # own speed controller. Motivation (measured, running gait): the
+    # fast hop cycle decays through a pitch-velocity spiral whose
+    # equilibrium is a steady-state velocity error that proportional
+    # placement feedback cannot remove, while boosting the MPC
+    # reference instead (ref_scale 1) destabilizes pitch
+    # (DESIGN_NOTES round 4, "Running gait"). Defaults preserve
+    # round-3 behavior exactly.
+    cmd_v_int_ref_scale: float = 1.0
+    raibert_vint: float = 0.0
     # --- solver settings (no reference analog; cvxopt defaults there) ---
     # number of ADMM iterations (static: unrolled/scanned at trace time)
     n_admm_iters: int = struct.field(pytree_node=False, default=60)

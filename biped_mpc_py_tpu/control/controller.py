@@ -208,7 +208,7 @@ def control_tick(
     )
     tau = low_level_control(
         x_fb, t_g, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
-        gait=gait, cmd_ref=cmd_ref,
+        gait=gait, cmd_ref=cmd_ref, v_int=v_int,
     )
     ref_next = advance_cmd_ref(
         cmd_ref if cmd_ref is not None else jnp.zeros(3, x_fb.dtype),

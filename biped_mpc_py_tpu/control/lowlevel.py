@@ -33,6 +33,7 @@ def low_level_control(
     gait: GaitConfig | None = None,
     cmd_ref: jnp.ndarray | None = None,
     terrain=None,
+    v_int: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Joint torques (10,) from the first MPC control.
 
@@ -85,7 +86,7 @@ def low_level_control(
         else:
             vf_w = R @ (jf @ qd5)
         f_swing = swing_leg_force(
-            x_fb, t, pf3, vf_w, mpc, side, gait, terrain
+            x_fb, t, pf3, vf_w, mpc, side, gait, terrain, v_int
         )
         if not mpc.compat_swing_frame_bug:
             f_swing = R.T @ f_swing

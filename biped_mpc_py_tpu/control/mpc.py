@@ -53,7 +53,9 @@ def build_mpc_qp(
             terrain.height(foot[0], foot[1]) + terrain.height(foot[3], foot[4])
         )
     x_ref = com_reference(x_fb, mpc, cmd_ref, z_ground=z_ground, v_int=v_int)
-    foot_ref = foot_reference(x_fb, t, foot, mpc, contact, gait, terrain)
+    foot_ref = foot_reference(
+        x_fb, t, foot, mpc, contact, gait, terrain, v_int=v_int
+    )
     A, B = linearize_horizon(mpc, biped, x_ref, foot_ref)
     return condense(mpc, biped, x_fb, x_ref, A, B, contact, foot_yaw)
 

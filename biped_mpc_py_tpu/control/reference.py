@@ -74,10 +74,12 @@ def com_reference(
     v_cmd = v_cmd_raw
     if v_int is not None:
         # integral boost of the xy velocity reference (see
-        # MpcConfig.cmd_v_int_gain / controller.advance_v_int); the
+        # MpcConfig.cmd_v_int_gain / controller.advance_v_int), scaled
+        # by cmd_v_int_ref_scale (0 = accumulate for the Raibert
+        # placement channel only, MpcConfig.raibert_vint); the
         # integrate-vs-hold gating below stays on the RAW command so a
         # zero-command axis keeps its position-hold stiffness
-        v_cmd = v_cmd.at[3:5].add(v_int)
+        v_cmd = v_cmd.at[3:5].add(v_int * mpc.cmd_v_int_ref_scale)
     pose_int = x_fb[:6, None] + v_cmd[:, None] * (ks[None, :] * mpc.dt)  # (6,h)
     # z_ground enters only the HELD z row: terrain-adaptive height assumes
     # a zero-vz height command. With v_cmd_raw[5] != 0 the z reference
@@ -122,7 +124,8 @@ def com_reference(
     return x_ref
 
 
-def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
+def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float,
+                v_int: jnp.ndarray | None = None):
     """Raibert-style foot target: p + v·T_eff + kv·(p - p_cmd), per axis.
 
     ``lookahead`` is the stance-time horizon T (reference uses h/2·dt and
@@ -130,6 +133,11 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
     coefficient is T/2. With ``mpc.raibert_capture_gain > 0`` the
     coefficient becomes ``gain·sqrt(z_cmd/g)`` (capture point) instead —
     see config.py for the measured robustness difference.
+
+    ``v_int``: optional (2,) xy velocity-error integral
+    (controller.advance_v_int) — shifts the target by
+    ``-mpc.raibert_vint * v_int`` (integral placement action; see the
+    MpcConfig.raibert_vint docstring).
     """
     # reference's feedforward coefficient; ff_scale < 1 shifts the
     # landing behind the neutral point (see MpcConfig.raibert_ff_scale)
@@ -158,6 +166,11 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float):
     )
     fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
     fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
+    if v_int is not None:
+        # integral placement: persistent slowness (v_int > 0) moves the
+        # foothold behind the neutral point -> propulsive stance
+        fx = fx - mpc.raibert_vint * v_int[0]
+        fy = fy - mpc.raibert_vint * v_int[1]
     return fx, fy
 
 
@@ -169,6 +182,7 @@ def foot_reference(
     contact: jnp.ndarray,
     gait: GaitConfig | None = None,
     terrain=None,
+    v_int: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Foot-position reference over the horizon -> (6, h).
 
@@ -195,8 +209,8 @@ def foot_reference(
     """
     h = mpc.h
     t_p = phase_time(mpc, gait)
-    fx1, fy1 = _raibert_xy(x_fb, mpc, t_p)
-    fx2, fy2 = _raibert_xy(x_fb, mpc, 2.0 * t_p)
+    fx1, fy1 = _raibert_xy(x_fb, mpc, t_p, v_int)
+    fx2, fy2 = _raibert_xy(x_fb, mpc, 2.0 * t_p, v_int)
     if mpc.compat_foot_ref_bug:
         # reference ``:87``: x_fb[10] in place of x_fb[4]
         fy2 = (

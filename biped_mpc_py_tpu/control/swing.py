@@ -18,7 +18,8 @@ Y_OFFSET = 0.04  # lateral swing-target offset [m] (reference ``:427``)
 
 
 def swing_target_xy(
-    x_fb: jnp.ndarray, mpc: MpcConfig, side, gait: GaitConfig | None = None
+    x_fb: jnp.ndarray, mpc: MpcConfig, side, gait: GaitConfig | None = None,
+    v_int: jnp.ndarray | None = None,
 ):
     """Raibert swing-foot target (x, y) with the lateral stance-width offset
     rotated by the (touchdown-predicted) heading.
@@ -31,7 +32,7 @@ def swing_target_xy(
     the reference literally.
     """
     t_p = phase_time(mpc, gait)
-    fx, fy = _raibert_xy(x_fb, mpc, t_p)
+    fx, fy = _raibert_xy(x_fb, mpc, t_p, v_int)
     if mpc.compat_swing_yaw_bug:
         return fx, fy + Y_OFFSET * side
     yaw = x_fb[2] + mpc.x_cmd[8] * 0.5 * t_p  # heading at mid-touchdown
@@ -118,6 +119,7 @@ def swing_leg_force(
     side,
     gait: GaitConfig | None = None,
     terrain=None,
+    v_int: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """PD force (3,) driving the swing foot to its Raibert target.
 
@@ -127,7 +129,7 @@ def swing_leg_force(
     so the stick-friction drag impulse at touchdown — which scales with
     that velocity — is suppressed. 0 (default) = the reference's plain PD.
     """
-    fx, fy = swing_target_xy(x_fb, mpc, side, gait)
+    fx, fy = swing_target_xy(x_fb, mpc, side, gait, v_int)
     fz = swing_phase_z(t, mpc, gait, x_fb.dtype, side=side)
     if terrain is not None:
         # swing apex rides the LOCAL terrain surface under the target

@@ -290,6 +290,7 @@ def art_closed_loop_tick(
             tau = low_level_control(
                 x, t_ll, pf, s2.q, s2.qd, mpc, biped, contact, u0,
                 gait=gait, cmd_ref=world.ctrl.cmd_ref, terrain=terrain,
+                v_int=world.ctrl.v_int,
             )
             # positive mechanical joint work this period (metrics.energy)
             e2 = e2 + jnp.sum(jnp.maximum(tau * s2.qd, 0.0)) * ll_dt

@@ -148,9 +148,9 @@ def run_mujoco_closed_loop(
 
     solve = jax.jit(_solve)
     lowlvl = jax.jit(
-        lambda x, t, pf, q, qd, c, u0, r: low_level_control(
+        lambda x, t, pf, q, qd, c, u0, r, vi: low_level_control(
             x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r,
-            terrain=terrain,
+            terrain=terrain, v_int=vi,
         )
     )
     ctrl = ControllerState.init(mpc)
@@ -207,6 +207,7 @@ def run_mujoco_closed_loop(
         # engine tick's semantics (art_closed_loop_tick); the anchor
         # advances for the NEXT tick only
         cmd_ref_now = ctrl.cmd_ref
+        v_int_now = ctrl.v_int
         ctrl = ControllerState(
             qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
             v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
@@ -219,7 +220,7 @@ def run_mujoco_closed_loop(
             x_j, pf_j = fb(s)
             tau = lowlvl(
                 x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0],
-                cmd_ref_now,
+                cmd_ref_now, v_int_now,
             )
             d.qfrc_applied[6:16] = np.array(tau)
             for _ in range(MJ_PER_LL):

@@ -334,6 +334,35 @@ class TestTerrainTransfer:
                 )
                 assert not fell, (vx, seed)
 
+    def test_mujoco_4cm_terrain_contact_clock_10s(self):
+        """4 cm in-place with the contact-sensed gait clock
+        (GaitConfig.contact_clock, clock_max_hold=2) and NO overdrive:
+        the schedule waits for the real touchdown (MuJoCo contact
+        forces), closing the missed-touchdown cascade amplitude-
+        uniformly — battery 4/4 at BOTH 3 cm and 4 cm with this one
+        setting (vs the overdrive's 4cm-vs-3cm tradeoff). Pinned: seeds
+        0 and 1 (seed 1 is the baseline fall)."""
+        import dataclasses
+
+        from biped_mpc_py_tpu.sim.contact import Terrain
+
+        mpc = art_mpc_config(
+            x_cmd=jnp.zeros(12).at[5].set(0.55), **ORACLE_MPC,
+        )
+        gait = dataclasses.replace(
+            GaitConfig(), contact_clock=True, clock_max_hold=2
+        )
+        for seed in range(2):
+            terr = Terrain.rough(
+                jax.random.PRNGKey(100 + seed), amplitude=0.04
+            )
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, _, fell = run_mujoco_closed_loop(
+                mpc, gait, 250, model=MODEL, biped=BIPED,
+                dq0=dq, terrain=terr,
+            )
+            assert not fell, seed
+
     def test_mujoco_4cm_terrain_overdrive_10s(self):
         """4 cm in-place with swing_td_overdrive=0.02 (round 4 fix).
         Battery 4/4 (tools/sweep_mj_terrain2.py cells

@@ -148,15 +148,26 @@ def diag(seed: int):
             break
 
 
-def cells(amp=AMP, **kw):
-    """4-seed battery (in-place) at `amp` with MpcConfig overrides."""
+def cells(amp=AMP, clock=0, **kw):
+    """4-seed battery (in-place) at `amp` with MpcConfig overrides.
+
+    ``clock=N`` (N > 0) enables the contact-sensed gait clock with
+    clock_max_hold=N (measured: 3 cm 4/4 AND 4 cm 4/4 at clock=2 with
+    no overdrive — the amplitude-uniform closure; 5 cm probe in this
+    round's battery)."""
+    import dataclasses as _dc
+
     mpc = art_mpc_config(x_cmd=jnp.zeros(12).at[5].set(0.55), **{**ORACLE, **kw})
+    gait = GaitConfig()
+    if clock:
+        gait = _dc.replace(gait, contact_clock=True,
+                           clock_max_hold=int(clock))
     ok = []
     for seed in range(4):
         terr = Terrain.rough(jax.random.PRNGKey(100 + seed), amplitude=amp)
         dq = SCALE * np.random.default_rng(seed).standard_normal(10)
         _, _, fell = run_mujoco_closed_loop(
-            mpc, GaitConfig(), 250, dq0=dq, terrain=terr,
+            mpc, gait, 250, dq0=dq, terrain=terr,
         )
         ok.append(not fell)
         print(f"  {amp * 100:.0f}cm {kw} seed {seed}: "
