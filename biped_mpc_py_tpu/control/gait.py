@@ -170,6 +170,34 @@ def advance_gait_clock(t_gait, hold_count, down, mpc: MpcConfig,
     return t_used, hold_next
 
 
+def advance_gait_clock_host(t_gait, hold_count, down, mpc: MpcConfig,
+                            gait: GaitConfig):
+    """Host-side mirror of :func:`advance_gait_clock` (plain Python
+    floats/ints, no tracing) for the synchronous validation/deployment
+    loops — the MuJoCo co-sim driver (sim/mj_driver.py, contact from
+    real normal forces) and the real-time loop (runtime/realtime.py,
+    contact from plant sole heights). Same hold rule and biased-product
+    step semantics (``_CLOCK_STEP_BIAS``); ``down`` is any 2-sequence
+    of per-foot contact booleans."""
+    import math
+
+    dt = float(mpc.dt)
+    k = int(math.floor(t_gait / dt + (0.5 - _CLOCK_STEP_BIAS)))
+    p, f = gait.steps_per_phase, gait.flight_steps
+    s_next = (k + 1) % (2 * (p + f))
+    wait = (
+        ((s_next == 0 and not bool(down[0]))
+         or (s_next == p + f and not bool(down[1])))
+        and hold_count < gait.clock_max_hold
+        and int(gait.gait_mode) == 1
+    )
+    k_used = k if wait else k + 1
+    return (
+        (k_used + _CLOCK_STEP_BIAS) * dt,
+        hold_count + 1 if wait else 0,
+    )
+
+
 def swing_clock(t, mpc: MpcConfig, gait: GaitConfig | None, side, dtype):
     """Per-leg swing clock -> (phase fraction in [0, 1], swing duration T_sw).
 

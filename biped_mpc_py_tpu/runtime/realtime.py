@@ -37,7 +37,10 @@ from biped_mpc_py_tpu.control.controller import (
     advance_cmd_ref,
     advance_v_int,
 )
-from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.gait import (
+    advance_gait_clock_host,
+    contact_sequence,
+)
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
@@ -97,10 +100,17 @@ class RealtimeLoop:
             )
         )
         self._lowlevel = jax.jit(
-            lambda x, t, pf, q, qd, c, u0, r: low_level_control(
-                x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r
+            lambda x, t, pf, q, qd, c, u0, r, vi: low_level_control(
+                x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r,
+                v_int=vi,
             )
         )
+        # contact-sensed gait clock state (GaitConfig.contact_clock):
+        # host-side, advanced by gait.advance_gait_clock_host from the
+        # plant's sole heights — the deployment-path analog of the
+        # engine/MuJoCo clocks (init so the first advanced step is 0)
+        self._t_gait = -float(mpc.dt)
+        self._hold = 0
         self._advance_ref = jax.jit(
             lambda r, x: advance_cmd_ref(r, x, mpc)
         )
@@ -121,7 +131,7 @@ class RealtimeLoop:
         tau = self._lowlevel(
             jnp.asarray(x_fb, jnp.float32), 0.0, jnp.asarray(pf, jnp.float32),
             jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32),
-            c, sol.controls[0], self.ctrl.cmd_ref,
+            c, sol.controls[0], self.ctrl.cmd_ref, self.ctrl.v_int,
         )
         jax.block_until_ready(tau)
         jax.block_until_ready(
@@ -151,10 +161,22 @@ class RealtimeLoop:
             pf = plant.foot_positions()
             x_j = jnp.asarray(x_fb, jnp.float32)
             pf_j = jnp.asarray(pf, jnp.float32)
-            contact = contact_sequence(t_sim, mpc, gait)
+            if gait.contact_clock:
+                # touchdown-sensed schedule re-anchoring from the
+                # plant's measured sole heights (flat-ground contact;
+                # a real robot would wire its foot switches here)
+                down = (pf[2] < gait.clock_z_tol, pf[5] < gait.clock_z_tol)
+                self._t_gait, self._hold = advance_gait_clock_host(
+                    self._t_gait, self._hold, down, mpc, gait
+                )
+                t_used = self._t_gait
+            else:
+                t_used = t_sim
+            contact = contact_sequence(t_used, mpc, gait)
+            v_int_now = self.ctrl.v_int
             sol = self._solve(
-                x_j, t_sim, pf_j, contact, self.ctrl.qp, self.ctrl.cmd_ref,
-                self.ctrl.v_int,
+                x_j, t_used, pf_j, contact, self.ctrl.qp, self.ctrl.cmd_ref,
+                v_int_now,
             )
             self.ctrl = ControllerState(
                 qp=sol, cmd_ref=self._advance_ref(self.ctrl.cmd_ref, x_j),
@@ -165,10 +187,10 @@ class RealtimeLoop:
                 x_fb, q, qd = plant.read_state()
                 pf = plant.foot_positions()
                 tau = self._lowlevel(
-                    jnp.asarray(x_fb, jnp.float32), t_sim + j * ll_dt,
+                    jnp.asarray(x_fb, jnp.float32), t_used + j * ll_dt,
                     jnp.asarray(pf, jnp.float32), jnp.asarray(q, jnp.float32),
                     jnp.asarray(qd, jnp.float32), contact, u0,
-                    self.ctrl.cmd_ref,
+                    self.ctrl.cmd_ref, v_int_now,
                 )
                 plant.apply(np.asarray(tau), ll_dt)
 

@@ -25,7 +25,10 @@ from biped_mpc_py_tpu.control.controller import (
     advance_cmd_ref,
     advance_v_int,
 )
-from biped_mpc_py_tpu.control.gait import contact_sequence
+from biped_mpc_py_tpu.control.gait import (
+    advance_gait_clock_host,
+    contact_sequence,
+)
 from biped_mpc_py_tpu.control.lowlevel import low_level_control
 from biped_mpc_py_tpu.control.mpc import solve_mpc
 from biped_mpc_py_tpu.models.biped import BipedParams
@@ -181,20 +184,12 @@ def run_mujoco_closed_loop(
         s = state_from_mj(d, t)
         x_fb, pf_w = fb(s)
         if gait_now.contact_clock:
-            # same biased-product step semantics as the jitted clock
-            # (control/gait.py::advance_gait_clock / _CLOCK_STEP_BIAS)
-            p_, f_ = gait_now.steps_per_phase, gait_now.flight_steps
-            kk = int(np.floor(t_gait / mpc.dt + 0.4375))
-            s_next = (kk + 1) % (2 * (p_ + f_))
-            down = mj_foot_forces(m, d) > 5.0
-            wait = (
-                ((s_next == 0 and not down[0])
-                 or (s_next == p_ + f_ and not down[1]))
-                and hold < gait_now.clock_max_hold
-                and gait_now.gait_mode == 1
+            # contact from MuJoCo's REAL normal forces (> 5 N); same
+            # hold rule and biased-product step semantics as the jitted
+            # clock (control/gait.py::advance_gait_clock)
+            t_gait, hold = advance_gait_clock_host(
+                t_gait, hold, mj_foot_forces(m, d) > 5.0, mpc, gait_now
             )
-            k_used, hold = (kk, hold + 1) if wait else (kk + 1, 0)
-            t_gait = (k_used + 1.0 / 16.0) * mpc.dt
             t_used = t_gait
         else:
             t_used = t

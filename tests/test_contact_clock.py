@@ -202,3 +202,22 @@ def test_running_contact_clock_sustains_fast_cycle_10s():
     assert float(w.metrics.falls) == 0
     x = np.array(w.sim.torso_state())
     assert x[3] > 7.0, x[3]  # > 0.70 m/s realized over 10 s
+
+
+def test_host_clock_mirrors_jitted_clock():
+    """advance_gait_clock_host (the MuJoCo-driver / realtime-loop mirror)
+    tracks the jitted clock step-for-step over a random contact stream."""
+    from biped_mpc_py_tpu.control.gait import advance_gait_clock_host
+
+    mpc, gait = MpcConfig(), _mk(p=2, f=1, clock_max_hold=2)
+    rng = np.random.default_rng(3)
+    t_j, h_j = jnp.asarray(-mpc.dt), jnp.zeros((), jnp.int32)
+    t_h, h_h = -mpc.dt, 0
+    for _ in range(120):
+        down = rng.random(2) < 0.7
+        t_j, h_j = advance_gait_clock(
+            t_j, h_j, jnp.asarray(down), mpc, gait
+        )
+        t_h, h_h = advance_gait_clock_host(t_h, h_h, down, mpc, gait)
+        assert _step(t_j, mpc) == _step(t_h, mpc)
+        assert int(h_j) == h_h
