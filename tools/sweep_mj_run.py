@@ -1,0 +1,79 @@
+"""MuJoCo running-gait probe battery (round 4).
+
+The engine runs the flight-phase gait with the contact clock at 0.81 m/s
+realized over 10-s zero-fall windows (tools/sweep_run.py group "clock").
+THIS battery probes the same stack in stick-friction MuJoCo — the
+strongest available physics oracle — and records the measured NEGATIVE
+result:
+
+  Every cell achieves 1.5-3 s of GENUINE hopping at 0.7-0.9 m/s
+  realized, then falls to a YAW SPIN-OUT: heading ratchets
+  -0.4 -> -1.2 -> -3.1 rad over ~40 ticks while speed stays high (the
+  diag trace in this round's transcripts; roll follows yaw). The
+  binding constraint is stick-friction yaw transmission at running
+  stance duty (~2 ticks of single-point support per cycle), consistent
+  with the round-3 turning-ceiling findings.
+
+  Knob cells, ALL measured negative (fall tick / terminal yaw):
+    baseline (apex .08)            FELL@52-53 both seeds
+    apex .06                       FELL@78 (longest; used below)
+    clock_max_hold 3, width .08,
+    td-damp 12, vx 0.8             FELL@42-53
+    MORE yaw authority: pivot 3-6, hipyaw 5/.6, tau_z 6,
+    pivot+hipyaw combos            FELL@33-40 (WORSE: swing reaction
+                                   torques dominate — the round-3
+                                   fast-band lesson repeats)
+    LESS yaw excitation: fh 0, fh 0 + tau_z 2, fh 1.5 + clip .2,
+    + ffs .75                      FELL@37-53 (terminal yaw shrinks to
+                                   +-0.5-0.6 but the spin still wins)
+
+Usage: python tools/sweep_mj_run.py [vx] [clock_max_hold]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "pytest" not in sys.modules:
+    jax.config.update("jax_platforms", "cpu")
+
+import dataclasses as dc  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from biped_mpc_py_tpu.models.biped import BipedParams  # noqa: E402
+from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_run  # noqa: E402
+from biped_mpc_py_tpu.sim.mj_driver import run_mujoco_closed_loop  # noqa: E402
+from biped_mpc_py_tpu.sim.model import hector_model  # noqa: E402
+
+ORACLE = dict(
+    tau_z_max=4.0, kp_hipyaw=3.0, kd_hipyaw=0.4, swing_td_damp=8.0,
+    swing_height=0.06,
+)
+
+
+def probe(vx: float, mh: int, seeds: int = 2, **kw):
+    mpc, gait = art_config_for_run(vx, **{**ORACLE, **kw})
+    gait = dc.replace(gait, contact_clock=True, clock_max_hold=mh)
+    model, biped = hector_model(), BipedParams()
+    for seed in range(seeds):
+        dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+        _, xs, fell = run_mujoco_closed_loop(
+            mpc, gait, 250, model=model, biped=biped, dq0=dq,
+        )
+        n = len(xs)
+        print(
+            f"  mj-run vx={vx} mh={mh} {kw} seed {seed}: "
+            f"{'FELL@' + str(n) if fell else 'ok'} x={xs[-1][3]:.2f} "
+            f"yaw={xs[-1][2]:+.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    vx = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    mh = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    probe(vx, mh)
