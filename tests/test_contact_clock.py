@@ -221,3 +221,30 @@ def test_host_clock_mirrors_jitted_clock():
         t_h, h_h = advance_gait_clock_host(t_h, h_h, down, mpc, gait)
         assert _step(t_j, mpc) == _step(t_h, mpc)
         assert int(h_j) == h_h
+
+
+@pytest.mark.slow
+def test_srb_running_gait():
+    """Running on the SRB abstraction (the reference's own layer): p=2 f=1
+    at a 0.8 m/s command covers > 6 m in 10 s with zero falls (probe grid:
+    0.72 realized at 0.8, 0.93 at 1.2, f=2 falls everywhere — the MPC's
+    longer ballistic model again). The end-state velocity DECAYS toward the
+    slow braking attractor here too — the attractor is a property of the
+    control architecture, not of leg mass (DESIGN_NOTES round 4)."""
+    import dataclasses as dc
+
+    from biped_mpc_py_tpu.models.biped import BipedParams
+    from biped_mpc_py_tpu.parallel.rollout import init_world, rollout_fn
+    from biped_mpc_py_tpu.utils.precision import f32_precision
+
+    mpc = dc.replace(
+        MpcConfig(),
+        x_cmd=jnp.zeros(12).at[5].set(0.55).at[9].set(0.8),
+        swing_height=0.08, swing_z_sin2=True,
+    )
+    gait = GaitConfig(steps_per_phase=2, flight_steps=1)
+    w = jax.jit(f32_precision(rollout_fn(250, mpc, gait)))(
+        init_world(mpc), BipedParams()
+    )
+    assert float(w.metrics.falls) == 0
+    assert float(w.sim.x_fb[3]) > 6.0, float(w.sim.x_fb[3])
