@@ -35,11 +35,29 @@ REFERENCE_STEPS_PER_SEC = 4.0  # BASELINE.md: est. 250 ms per reference tick
 def _fail(kind: str, exc: BaseException) -> None:
     """Structured failure mode (VERDICT r3 weak #1): when the backend is
     down, the driver artifact should record ONE parseable JSON line, not a
-    180-line traceback. Full traceback still goes to stderr for debugging."""
+    180-line traceback. Full traceback still goes to stderr for debugging.
+
+    Backend-init UNAVAILABLE (the axon pool momentarily refusing the claim —
+    a fast, clean failure, distinct from the round-3 wedge hang) gets a
+    bounded re-exec retry: jax caches the failed backend in-process, so the
+    only way to retry is a fresh process. BENCH_INIT_RETRIES (default 2)
+    attempts, 60 s apart, ~3 min worst case — small enough to stay inside
+    any reasonable driver timeout, large enough to ride out a blip."""
     import traceback
 
     traceback.print_exc(file=sys.stderr)
     msg = f"{type(exc).__name__}: {exc}"
+    transient = "Unable to initialize backend" in msg and "UNAVAILABLE" in msg
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "2"))
+    if transient and retries > 0:
+        print(
+            json.dumps({"note": "retrying_backend_init", "left": retries}),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(60)
+        os.environ["BENCH_INIT_RETRIES"] = str(retries - 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     print(json.dumps({"error": kind, "detail": msg[:400]}))
     raise SystemExit(1)
 
