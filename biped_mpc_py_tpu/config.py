@@ -123,6 +123,28 @@ class MpcConfig:
     # turning-stability loop (sweepable: dynamic leaves).
     hipyaw_target_clip: float = 0.6
     tau_yaw_clip: float = 3.0
+    # FLIGHT-phase reaction-wheel yaw damping [N m s/rad] (round 5; no
+    # reference analog — the reference has no aerial phase at all,
+    # ``bipedalLocomotionMPC.py:52-58``). During running flight NEITHER
+    # foot can react a yaw moment, and at running stance duty (~2 ticks
+    # of single-point support) stick friction transmits almost none — the
+    # measured MuJoCo yaw spin-out (DESIGN_NOTES round 4). The only
+    # remaining actuation channel is internal momentum exchange: torque
+    # BOTH hip-yaw motors against the torso's yaw-rate error while
+    # airborne (tau0 += kd*(wz - wz_cmd), clipped at tau_yaw_clip), using
+    # the legs as reaction wheels — the Raibert-hopper flight-attitude
+    # trick. The feet's heading excursion is re-collected by the
+    # foot-heading wrench before touchdown. Applied only when BOTH
+    # contact flags are 0; walking gaits never see it. 0 (default) = off.
+    flight_yaw_kd: float = 0.0
+    # Touchdown foot-heading PRE-ROTATION against the measured yaw rate
+    # [s] (round 5): the swing hip-yaw target becomes
+    # clip(dyaw - lead*wz_err). A body spinning at +wz plants its foot
+    # rotated -lead*wz from the command, so the stance stick-lock brakes
+    # the rotation (skater's turned-foot plant) instead of ratcheting the
+    # heading — the measured MuJoCo running spin-out mode. 0 = round-4
+    # behavior.
+    hipyaw_rate_lead: float = 0.0
     # Stance-pivot heading drive (control/lowlevel.py, round 3): a direct
     # hip-yaw joint torque on the STANCE leg rotating the body about the
     # planted foot at the commanded heading — the physical turning
@@ -220,6 +242,35 @@ class MpcConfig:
     # sqrt(z_cmd/g)`` (1.0 = exact capture point; shoves to 0.5 m/s are
     # absorbed with zero falls).
     raibert_capture_gain: float = 0.0
+    # Angular-momentum-aware (ALIP-style) foot placement [m per rad/s]
+    # (round 5; no reference analog — the reference places on CoM velocity
+    # only, ``bipedalLocomotionMPC.py:72-89``). The pendulum quantity that
+    # is CONTINUOUS through a touchdown impact is the angular momentum
+    # about the new contact point, L_c = L_com + m r x v, not the CoM
+    # velocity — so the ALIP placement law uses the momentum-equivalent
+    # velocity v_eff = L_c/(m z) in place of v:
+    #   vx_eff = vx + raibert_am_y * wy,  vy_eff = vy - raibert_am_x * wx
+    # with the physical coefficient I/(m z_cmd) (HECTOR: Iyy/(12*0.55) =
+    # 0.143, Ixx -> 0.141). v_eff replaces v in BOTH the feedforward and
+    # the capture-error terms of _raibert_xy. Against the running slow
+    # attractor (DESIGN_NOTES round 4: braking impulses at forward-of-CoM
+    # footholds pump nose-down angular momentum, and nose-down geometry
+    # brakes more): placing against the measured pitch momentum catches
+    # the rotation at touchdown instead of feeding the spiral. 0 (default)
+    # = the reference's velocity-only placement, bit-identical.
+    raibert_am_y: float = 0.0
+    raibert_am_x: float = 0.0
+    # Late-swing foot-target RETRACTION [m] (round 5; no reference
+    # analog): ramp the swing xy target backward along the body-frame
+    # +x direction by up to this distance over the last 40% of the swing
+    # (the td-damp/overdrive ramp). Two effects, both touchdown-braking
+    # levers: the foot's world velocity at touchdown gains a backward
+    # component (smaller stick-friction drag impulse — swing-leg
+    # retraction in the Raibert/SLIP sense), and a LATE touchdown lands
+    # the foot CLOSER to the CoM (the extra hold ticks retract it
+    # further), directly shrinking the braking lever arm that drives the
+    # running decay spiral. 0 (default) = reference behavior.
+    swing_retract: float = 0.0
     # Scale on the Raibert feedforward term ``v * lookahead/2``
     # (control/reference.py::_raibert_xy). 1.0 (default) = the
     # reference's neutral-point placement. < 1 lands the feet BEHIND the

@@ -71,7 +71,21 @@ def low_level_control(
         yaw_des = mpc.x_cmd[2]
     dyaw = yaw_des - x_fb[2]
     dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
-    q_yaw_des = jnp.clip(dyaw, -mpc.hipyaw_target_clip, mpc.hipyaw_target_clip)
+    # touchdown pre-rotation against the measured yaw-rate error
+    # (MpcConfig.hipyaw_rate_lead; 0 = round-4 behavior bit-for-bit)
+    dyaw_tgt = dyaw - mpc.hipyaw_rate_lead * (x_fb[8] - mpc.x_cmd[8])
+    q_yaw_des = jnp.clip(
+        dyaw_tgt, -mpc.hipyaw_target_clip, mpc.hipyaw_target_clip
+    )
+    # flight flag (both feet scheduled airborne): gates the reaction-wheel
+    # yaw damping (MpcConfig.flight_yaw_kd) — hip-yaw torque on BOTH legs
+    # against the torso yaw-rate error, the only yaw channel with no foot
+    # on the ground
+    flight = (1.0 - c0[0]) * (1.0 - c0[1])
+    tau_fly = flight * jnp.clip(
+        mpc.flight_yaw_kd * (x_fb[8] - mpc.x_cmd[8]),
+        -mpc.tau_yaw_clip, mpc.tau_yaw_clip,
+    )
 
     def one_leg(q5, qd5, side, pf3, f3, m3, c):
         jm, jf = leg_jacobians(q5, side, biped.jac_geometry)
@@ -129,6 +143,7 @@ def low_level_control(
         # belt-and-braces: posture torque is a gentle secondary task — clamp
         # it well below the stance/swing task scale (|tau_swing| ~ 10 Nm)
         tau_yaw = jnp.clip(tau_yaw, -mpc.tau_yaw_clip, mpc.tau_yaw_clip)
+        tau_swing = tau_swing.at[0].add(tau_fly)
         return tau_stance * c + (tau_swing + tau_yaw) * (1.0 - c)
 
     tau = jax.vmap(one_leg)(

@@ -164,8 +164,18 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float,
     kc = mpc.raibert_capture_gain * jnp.sqrt(
         jnp.maximum(mpc.x_cmd[5], 0.0) / 9.81
     )
-    fx = x_fb[3] + x_fb[9] * ff + kc * (x_fb[9] - vcx) + kv_x
-    fy = x_fb[4] + x_fb[10] * ff + kc * (x_fb[10] - vcy) + kv_y
+    # ALIP-style momentum-equivalent velocity (MpcConfig.raibert_am_y/_am_x,
+    # round 5): v_eff = L_contact/(m z) = v + (I/(m z)) * w — the pendulum
+    # state that is continuous through touchdown impacts. Replaces v in
+    # BOTH the feedforward and capture-error terms; 0 coefficients (the
+    # default) reduce to the reference's velocity-only placement
+    # bit-for-bit. Sign: +wy (pitch rate, nose-down positive under
+    # R=Rz·Ry·Rx) adds forward momentum -> place further ahead; -wx
+    # likewise for the lateral channel.
+    vx_m = x_fb[9] + mpc.raibert_am_y * x_fb[7]
+    vy_m = x_fb[10] - mpc.raibert_am_x * x_fb[6]
+    fx = x_fb[3] + vx_m * ff + kc * (vx_m - vcx) + kv_x
+    fy = x_fb[4] + vy_m * ff + kc * (vy_m - vcy) + kv_y
     if v_int is not None:
         # integral placement: persistent slowness (v_int > 0) moves the
         # foothold behind the neutral point -> propulsive stance

@@ -136,6 +136,20 @@ def swing_leg_force(
         # (terrain-adaptive references, round 3)
         fz = fz + terrain.height(fx, fy)
     foot_des = jnp.stack([fx, fy, fz])
+    if gait is not None and gait.flight_steps > 0:
+        frac, _ = swing_clock(t, mpc, gait, side, x_fb.dtype)
+    else:
+        t_p = phase_time(mpc, gait)
+        frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
+    ramp = jnp.square(jnp.clip((frac - 0.6) / 0.4, 0.0, 1.0))
+    # late-swing target retraction (MpcConfig.swing_retract): ramp the xy
+    # target backward along the heading — the foot touches down moving
+    # backward (smaller drag impulse) and a LATE touchdown lands closer to
+    # the CoM (smaller braking lever). 0 = reference behavior.
+    yaw = x_fb[2]
+    foot_des = foot_des - (mpc.swing_retract * ramp) * jnp.stack(
+        [jnp.cos(yaw), jnp.sin(yaw), jnp.zeros_like(yaw)]
+    )
     # tracking velocity feedforward (MpcConfig.swing_track_ff): the Raibert
     # xy target rides the body (v_des_xy = v_com) and the z profile's rate
     # is closed-form; ff=0 reduces to the reference's absolute-velocity
@@ -143,12 +157,6 @@ def swing_leg_force(
     dfz = swing_phase_z_vel(t, mpc, gait, x_fb.dtype, side=side)
     v_des = mpc.swing_track_ff * jnp.stack([x_fb[9], x_fb[10], dfz])
     f = mpc.kp_swing * (foot_des - pf_w) + mpc.kd_swing * (v_des - vf_w)
-    if gait is not None and gait.flight_steps > 0:
-        frac, _ = swing_clock(t, mpc, gait, side, x_fb.dtype)
-    else:
-        t_p = phase_time(mpc, gait)
-        frac = jnp.remainder(jnp.asarray(t, x_fb.dtype), t_p) / t_p
-    ramp = jnp.square(jnp.clip((frac - 0.6) / 0.4, 0.0, 1.0))
     damp = mpc.swing_td_damp * ramp
     # touchdown overdrive (MpcConfig.swing_td_overdrive): pull the late-
     # swing z-target below the point-sampled ground so contact engages

@@ -166,14 +166,14 @@ def line_foot_rows(
     false whenever the robot turns (the hip-yaw joint rotates the foot's
     toe-heel line relative to the body), which hands the QP rollover rows
     about the WRONG axis. With foot_yaw the rows use each planted foot's
-    own frame Rz(psi) (a stance foot is flat on the ground, so its
-    attitude is a pure z-rotation). None = reference behavior.
-
-    FLAT-GROUND ASSUMPTION: the pure Rz(psi) drops the roll/pitch tilt
-    the body-aligned default keeps via the full R. On sloped/rough
-    terrain a planted foot is not flat, so foot_frame_wrench slightly
-    mis-orients the rollover axes there — prefer the body-aligned
-    default (foot_yaw=None) when combined with terrain mode.
+    own frame ``Rz(psi_i - yaw) @ R`` (round 5): the extra hip-yaw
+    z-rotation composed ON the measured attitude, so the rows keep the
+    body's roll/pitch tilt — on a slope a planted foot conforms to the
+    surface the body tilt tracks, and the round-3 pure-Rz(psi) form
+    mis-oriented the rollover axes there (the documented flat-ground
+    caveat, now removed). Reduces exactly to Rz(psi) when R is a pure
+    z-rotation and to the body-aligned R at zero hip-yaw.
+    None = reference behavior (body-aligned full R).
 
     ``shrink``: (toe, heel) lever-arm margins [m]; None = the reference's
     (0.01, 0.02). See MpcConfig.lf_toe_shrink/lf_heel_shrink — the
@@ -187,7 +187,12 @@ def line_foot_rows(
         a_l = a_r = R[:, 2]  # ([0,0,1] @ Rᵀ)_j = R[j,2]: third column
         b_l = b_r = R[:, 1]  # ([0,1,0] @ Rᵀ)_j = R[j,1]: second column
     else:
-        Rl, Rr = _rz(foot_yaw[0]), _rz(foot_yaw[1])
+        from biped_mpc_py_tpu.ops.linalg3 import mm3
+
+        # heading from the foot, tilt from the body: Rz(psi-yaw) @ R
+        yaw = jnp.arctan2(R[1, 0], R[0, 0])
+        Rl = mm3(_rz(foot_yaw[0] - yaw), R)
+        Rr = mm3(_rz(foot_yaw[1] - yaw), R)
         a_l, a_r = Rl[:, 2], Rr[:, 2]
         b_l, b_r = Rl[:, 1], Rr[:, 1]
     z3 = jnp.zeros(3, R.dtype)

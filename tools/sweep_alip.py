@@ -1,0 +1,152 @@
+"""ALIP placement / swing-retraction battery (round 5, VERDICT item 1).
+
+Target: break the running slow attractor — the round-4 finding that the
+fast hop cycle (realized ~0.8+ m/s over 10 s with the contact clock)
+decays into a ~0.25-0.30 m/s braking equilibrium over 20 s windows
+through a pitch-velocity spiral (DESIGN_NOTES "The contact-sensed gait
+clock"). The round-4 analysis named the driver: braking impulses at
+forward-of-CoM footholds pump nose-down angular momentum, and nose-down
+geometry brakes more. Two mechanism-level levers (config.py, round 5):
+
+  raibert_am_y   ALIP momentum-equivalent velocity in the placement law
+                 (v_eff = v + (I/(m z))·w); physical value ~0.143
+  swing_retract  late-swing backward target ramp (touchdown braking lever)
+
+Groups (segmented batched rollouts — per-segment realized speed exposes
+the decay trajectory, not just the endpoint):
+
+  am      raibert_am_y grid x commands, 30 s
+  ret     swing_retract grid, 30 s
+  combo   cross of the survivors, 30 s, 3 perturbations
+  long    60 s x 5 perturbed seeds at chosen operating points
+
+Usage: python tools/sweep_alip.py [am|ret|combo|long ...] (CPU)
+"""
+
+import dataclasses as dc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "pytest" not in sys.modules:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from biped_mpc_py_tpu.config import GaitConfig
+from biped_mpc_py_tpu.models.biped import BipedParams
+from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_run
+from biped_mpc_py_tpu.parallel.sweep import (
+    art_sweep_fn,
+    perturbed_worlds,
+    stack_configs,
+)
+from biped_mpc_py_tpu.utils.precision import f32_precision
+
+SEG = 125  # ticks per segment (5 s)
+
+
+def run_clock_gait():
+    return dc.replace(
+        GaitConfig(steps_per_phase=2, flight_steps=1),
+        contact_clock=True, clock_max_hold=2,
+    )
+
+
+def segmented(configs, labels, n_segments, gait=None, key=7):
+    """Batched rollout in SEG-tick segments; prints falls + per-segment
+    realized speed for each cell."""
+    gait = gait or run_clock_gait()
+    biped = BipedParams()
+    mpc_batch, in_axes = stack_configs(configs)
+    worlds = perturbed_worlds(configs[0], len(configs), jax.random.PRNGKey(key))
+    fn = jax.jit(f32_precision(art_sweep_fn(SEG, gait, in_axes)))
+    t0 = time.time()
+    pos_hist, fall_hist = [], []
+    pos0 = np.array(jax.vmap(lambda s: s.torso_state()[3])(worlds.sim))
+    for _ in range(n_segments):
+        worlds = fn(worlds, biped, mpc_batch)
+        jax.block_until_ready(worlds)
+        pos_hist.append(
+            np.array(jax.vmap(lambda s: s.torso_state()[3])(worlds.sim))
+        )
+        fall_hist.append(np.array(worlds.metrics.falls))
+    print(f"  ({time.time() - t0:.0f}s)")
+    pos = np.stack([pos0] + pos_hist)  # (n_seg+1, n_cells)
+    v_seg = np.diff(pos, axis=0) / (SEG * 0.04)  # (n_seg, n_cells)
+    falls = fall_hist[-1]
+    for i, lab in enumerate(labels):
+        segs = " ".join(f"{v: .2f}" for v in v_seg[:, i])
+        print(f"  {lab}: falls={falls[i]:.0f} v/seg=[{segs}]")
+    sys.stdout.flush()
+    return v_seg, falls
+
+
+def am():
+    configs, labels = [], []
+    for vx in (1.0, 1.2):
+        for amy in (-0.14, -0.07, 0.0, 0.07, 0.14, 0.21):
+            mpc, _ = art_config_for_run(vx, raibert_am_y=amy)
+            configs.append(mpc)
+            labels.append(f"vx={vx} am_y={amy:+.2f}")
+    print("== ALIP am_y grid (30 s, clock op point) ==")
+    segmented(configs, labels, 6)
+
+
+def ret():
+    configs, labels = [], []
+    for vx in (1.2,):
+        for r in (0.0, 0.02, 0.04, 0.06):
+            mpc, _ = art_config_for_run(vx, swing_retract=r)
+            configs.append(mpc)
+            labels.append(f"vx={vx} ret={r:.2f}")
+    print("== swing_retract grid (30 s, clock op point) ==")
+    segmented(configs, labels, 6)
+
+
+def combo(cells=None):
+    cells = cells or [
+        (1.2, 0.07, 0.02), (1.2, 0.14, 0.0), (1.2, 0.14, 0.02),
+        (1.2, 0.07, 0.04), (1.0, 0.14, 0.02),
+    ]
+    configs, labels = [], []
+    for vx, amy, r in cells:
+        for pert in range(3):
+            mpc, _ = art_config_for_run(
+                vx, raibert_am_y=amy, swing_retract=r
+            )
+            configs.append(mpc)
+            labels.append(f"vx={vx} am={amy:+.2f} ret={r:.2f} p{pert}")
+    print("== combos (30 s, 3 perts) ==")
+    segmented(configs, labels, 6)
+
+
+def long(cells=None):
+    cells = cells or [(1.2, 0.14, 0.0)]
+    configs, labels = [], []
+    for vx, amy, r in cells:
+        for pert in range(5):
+            mpc, _ = art_config_for_run(
+                vx, raibert_am_y=amy, swing_retract=r
+            )
+            configs.append(mpc)
+            labels.append(f"vx={vx} am={amy:+.2f} ret={r:.2f} p{pert}")
+    print("== long (60 s, 5 perts) ==")
+    segmented(configs, labels, 12)
+
+
+if __name__ == "__main__":
+    groups = sys.argv[1:] or ["am"]
+    if "am" in groups:
+        am()
+    if "ret" in groups:
+        ret()
+    if "combo" in groups:
+        combo()
+    if "long" in groups:
+        long()
