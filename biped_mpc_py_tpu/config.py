@@ -260,6 +260,44 @@ class MpcConfig:
     # = the reference's velocity-only placement, bit-identical.
     raibert_am_y: float = 0.0
     raibert_am_x: float = 0.0
+    # LEAKY pitch reference (round 5): per-tick leak rate of the MPC's
+    # pitch target toward the MEASURED pitch (carried in
+    # ControllerState.pitch_ref, advanced like the cmd_ref anchor). The
+    # running decay trace (tools/diag_run_decay.py) shows the fast hop
+    # cycle rides a self-selected nose-up attitude (~+0.12) that the
+    # fixed pitch target 0 grinds away at ~0.02 rad/s — the decay
+    # spiral's driver. A leaked target keeps FULL stiffness against
+    # tick-scale pitch oscillation (the transient stabilizer a free
+    # pitch axis lacks — Q_pitch 5-20 falls immediately, round-5 screen)
+    # while giving ZERO DC stiffness: the MPC damps pitch about
+    # whatever attitude the gait settles into instead of fighting it.
+    # 0 (default) = the reference's fixed x_cmd[1] target.
+    pitch_ref_leak: float = 0.0
+    # Shove-state-scheduled capture gain [1 per m/s] (round 5): the
+    # effective capture coefficient becomes
+    #   (raibert_capture_gain + capture_sched * |v_xy - v_cmd_xy|) (cap 1)
+    # so large velocity errors (a push, a recovery overshoot) get
+    # near-capture-point placement while steady walking keeps the tuned
+    # soft gain. Motivation: the round-4 backward-push limit at -x 0.35
+    # is a recovery-overshoot limit CYCLE (recover -> overshoot forward
+    # -> rebound grows, DESIGN_NOTES "Backward push recovery") — the
+    # proportional placement under-corrects exactly when the error is
+    # largest. 0 (default) = fixed gain.
+    capture_sched: float = 0.0
+    # Pitch-ANGLE placement feedback [m/rad] (round 5): shift the Raibert
+    # x-target by raibert_pitch_place * (pitch - raibert_pitch_nom). The
+    # round-5 decay trace (tools/diag_run_decay.py) shows the running
+    # slow-decay's driver directly: the fast hop cycle rides pitch ~+0.12
+    # with the foot landing UNDER the CoM (lever ~0); the MPC's pitch
+    # regulation drags pitch down ~0.02 rad/s, and as pitch falls the
+    # realized foothold ends up +4-5 cm AHEAD of the CoM (braking) — vx
+    # tracks pitch one-for-one down into the slow attractor. The pitch
+    # RATE stays ~0.05 rad/s throughout, which is why rate-based (ALIP)
+    # placement cannot see the spiral. This term closes it in angle:
+    # pitch below its hop-natural value moves the foothold BACK, removing
+    # the braking lever. 0 (default) = reference behavior.
+    raibert_pitch_place: float = 0.0
+    raibert_pitch_nom: float = 0.0
     # Late-swing foot-target RETRACTION [m] (round 5; no reference
     # analog): ramp the swing xy target backward along the body-frame
     # +x direction by up to this distance over the last 40% of the swing

@@ -56,6 +56,12 @@ class ControllerState:
     hold_count: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
+    # leaky pitch reference (MpcConfig.pitch_ref_leak; read by
+    # com_reference only when the leak is > 0 — zero-leak paths carry it
+    # untouched and are bit-identical)
+    pitch_ref: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(())
+    )
 
     @classmethod
     def init(cls, mpc: MpcConfig, dtype=jnp.float32) -> "ControllerState":
@@ -74,6 +80,9 @@ class ControllerState:
             v_int=zero((2,), dtype),
             t_gait=jnp.asarray(-mpc.dt, dtype),
             hold_count=zero((), jnp.int32),
+            pitch_ref=jnp.asarray(
+                jnp.where(mpc.pitch_ref_leak > 0, mpc.x_cmd[1], 0.0), dtype
+            ),
         )
 
 
@@ -115,6 +124,15 @@ def advance_cmd_ref(
         ]
     )
     return ref + leak * (actual - ref)
+
+
+def advance_pitch_ref(
+    pitch_ref: jnp.ndarray, x_fb: jnp.ndarray, mpc: MpcConfig
+) -> jnp.ndarray:
+    """One-tick update of the leaky pitch reference (see
+    MpcConfig.pitch_ref_leak): leak toward the measured pitch. Identity
+    when the leak is 0 (the parity path)."""
+    return pitch_ref + mpc.pitch_ref_leak * (x_fb[1] - pitch_ref)
 
 
 def advance_v_int(
@@ -202,9 +220,10 @@ def control_tick(
     foot_yaw = (
         x_fb[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
     )
+    p_ref = None if ctrl_state is None else ctrl_state.pitch_ref
     sol = solve_mpc(
         x_fb, t_g, pf_w, mpc, biped, contact, warm=warm, gait=gait,
-        cmd_ref=cmd_ref, foot_yaw=foot_yaw, v_int=v_int,
+        cmd_ref=cmd_ref, foot_yaw=foot_yaw, v_int=v_int, pitch_ref=p_ref,
     )
     tau = low_level_control(
         x_fb, t_g, pf_w, q, qd, mpc, biped, contact, sol.controls[0],
@@ -218,8 +237,13 @@ def control_tick(
         v_int if v_int is not None else jnp.zeros(2, x_fb.dtype),
         x_fb, mpc,
     )
+    pr_next = advance_pitch_ref(
+        p_ref if p_ref is not None else jnp.zeros((), x_fb.dtype),
+        x_fb, mpc,
+    )
     state_next = ControllerState(
         qp=sol, cmd_ref=ref_next, v_int=vi_next,
         t_gait=jnp.asarray(t_g, x_fb.dtype), hold_count=hold,
+        pitch_ref=pr_next,
     )
     return tau, state_next, sol

@@ -34,6 +34,7 @@ def build_mpc_qp(
     foot_yaw: jnp.ndarray | None = None,
     terrain=None,
     v_int: jnp.ndarray | None = None,
+    pitch_ref: jnp.ndarray | None = None,
 ) -> CondensedQp:
     """Assemble the condensed MPC QP for one tick (no solve).
 
@@ -52,7 +53,10 @@ def build_mpc_qp(
         z_ground = 0.5 * (
             terrain.height(foot[0], foot[1]) + terrain.height(foot[3], foot[4])
         )
-    x_ref = com_reference(x_fb, mpc, cmd_ref, z_ground=z_ground, v_int=v_int)
+    x_ref = com_reference(
+        x_fb, mpc, cmd_ref, z_ground=z_ground, v_int=v_int,
+        pitch_ref=pitch_ref,
+    )
     foot_ref = foot_reference(
         x_fb, t, foot, mpc, contact, gait, terrain, v_int=v_int
     )
@@ -73,6 +77,7 @@ def solve_mpc(
     foot_yaw: jnp.ndarray | None = None,
     terrain=None,
     v_int: jnp.ndarray | None = None,
+    pitch_ref: jnp.ndarray | None = None,
 ) -> QpSolution:
     """One MPC solve -> :class:`QpSolution` with (h,13) states, (h,12)
     controls, ADMM iterates (reusable as next tick's warm start), and
@@ -80,6 +85,6 @@ def solve_mpc(
     checks — it reads cvxopt's ``['x']`` unconditionally, ``:300``)."""
     qp = build_mpc_qp(
         x_fb, t, foot, mpc, biped, contact, gait, cmd_ref, foot_yaw, terrain,
-        v_int,
+        v_int, pitch_ref,
     )
     return solve_qp(qp, mpc, warm)

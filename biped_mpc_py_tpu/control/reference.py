@@ -23,6 +23,7 @@ def com_reference(
     cmd_ref: jnp.ndarray | None = None,
     z_ground: jnp.ndarray | float = 0.0,
     v_int: jnp.ndarray | None = None,
+    pitch_ref: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """CoM/state reference over the horizon -> (13, h).
 
@@ -86,6 +87,13 @@ def com_reference(
     # integrates from absolute feedback (x_fb z is already terrain-
     # inclusive), where adding z_ground would double-count ground height.
     pose_cmd = mpc.x_cmd[:6].at[5].add(z_ground)
+    if pitch_ref is not None:
+        # leaky pitch reference (MpcConfig.pitch_ref_leak): target the
+        # carried, measurement-leaked attitude instead of the fixed
+        # command — branch-free so the leak can be a traced/batched leaf
+        pose_cmd = pose_cmd.at[1].set(
+            jnp.where(mpc.pitch_ref_leak > 0, pitch_ref, pose_cmd[1])
+        )
     pose_hold = jnp.broadcast_to(pose_cmd[:, None], (6, h))
     pose = jnp.where(v_cmd_raw[:, None] != 0, pose_int, pose_hold)
     vel = jnp.broadcast_to(v_cmd[:, None], (6, h))
@@ -161,7 +169,16 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float,
     # whole configs, parallel/sweep.py).
     # clamp: a non-positive commanded height (e.g. zero-initialized x_cmd)
     # must not NaN-poison fx/fy through sqrt even when the gain is 0
-    kc = mpc.raibert_capture_gain * jnp.sqrt(
+    # shove-state capture scheduling (MpcConfig.capture_sched): boost the
+    # capture coefficient with the xy velocity-error magnitude, capped at
+    # the exact capture gain 1.0; 0 = the round-4 fixed gain bit-for-bit
+    v_err = jnp.sqrt(
+        (x_fb[9] - vcx) ** 2 + (x_fb[10] - vcy) ** 2
+    )
+    gain = jnp.minimum(
+        mpc.raibert_capture_gain + mpc.capture_sched * v_err, 1.0
+    )
+    kc = gain * jnp.sqrt(
         jnp.maximum(mpc.x_cmd[5], 0.0) / 9.81
     )
     # ALIP-style momentum-equivalent velocity (MpcConfig.raibert_am_y/_am_x,
@@ -174,7 +191,11 @@ def _raibert_xy(x_fb: jnp.ndarray, mpc: MpcConfig, lookahead: float,
     # likewise for the lateral channel.
     vx_m = x_fb[9] + mpc.raibert_am_y * x_fb[7]
     vy_m = x_fb[10] - mpc.raibert_am_x * x_fb[6]
-    fx = x_fb[3] + vx_m * ff + kc * (vx_m - vcx) + kv_x
+    # pitch-ANGLE placement feedback (MpcConfig.raibert_pitch_place):
+    # pitch below its hop-natural value moves the foothold back (less
+    # touchdown braking) — the running decay-spiral counter (round 5)
+    pp = mpc.raibert_pitch_place * (x_fb[1] - mpc.raibert_pitch_nom)
+    fx = x_fb[3] + vx_m * ff + kc * (vx_m - vcx) + kv_x + pp
     fy = x_fb[4] + vy_m * ff + kc * (vy_m - vcy) + kv_y
     if v_int is not None:
         # integral placement: persistent slowness (v_int > 0) moves the

@@ -69,6 +69,14 @@ def art_mpc_config(**overrides) -> MpcConfig:
       engine, whose regularized friction transmits more yaw couple than
       stick friction. The MuJoCo oracle runs at the stick-physical 4.0
       (tests/test_mj_contact.py).
+    - ``lf_heel_shrink = 0.015`` (round 5, folding the round-4 finding
+      into the operating point): the reference's 0.02 heel margin eats
+      40% of the 0.05 m heel and is THE binding constraint of backward
+      push recovery (the heel line-foot row sits active through every -x
+      recovery; DESIGN_NOTES "Backward push recovery is heel-CoP-bound").
+      0.015 is the measured optimum: -x 0.3 recovery 1/3 -> 3/3 seeds
+      while plain walking is unaffected (0.005-0.01 tip the foot under
+      CoP uncertainty).
     - ``swing_td_damp = 8.0`` (round 3): touchdown-retraction damping —
       braking the swing foot's tangential velocity before impact removed
       the MuJoCo chaotic-marginal walking branch (1/4 perturbed seeds
@@ -90,7 +98,7 @@ def art_mpc_config(**overrides) -> MpcConfig:
     cfg = dataclasses.replace(
         MpcConfig(), swing_height=0.04, raibert_capture_gain=0.5,
         swing_y_offset=0.04, kp_hipyaw=2.4, kd_hipyaw=0.3, tau_z_max=8.0,
-        swing_td_damp=8.0,
+        swing_td_damp=8.0, lf_heel_shrink=0.015,
     )
     return dataclasses.replace(cfg, **overrides)
 
@@ -233,6 +241,8 @@ def art_closed_loop_tick(
     n_substeps: int = 10,
     terrain=None,
     minv_ll_hold: int = 1,
+    unroll: int = 1,
+    ll_unroll: int = 1,
 ) -> ArtWorld:
     """One full MPC period on the articulated robot.
 
@@ -240,7 +250,12 @@ def art_closed_loop_tick(
     one Newton-Schulz mass-matrix inverse (refreshed at the start of each
     group). 1 (default) = refresh every 5 ms period, the MuJoCo-oracle
     setting; 8 = once per 40 ms MPC tick, the bench fast path (fidelity
-    bound measured in docs/DESIGN_NOTES.md round 3)."""
+    bound measured in docs/DESIGN_NOTES.md round 3).
+
+    ``unroll`` / ``ll_unroll``: scan-unroll factors for the physics
+    substep chain / the low-level-period chain (numerics-identical;
+    trades compile time + code size for fewer scan-iteration boundaries
+    on the latency-bound small-op chains — see DESIGN_NOTES round 5)."""
     from biped_mpc_py_tpu.sim.engine import feedback_and_soles, mass_matrix_inv
 
     sim = world.sim
@@ -266,6 +281,7 @@ def art_closed_loop_tick(
         x_fb, t_g, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
         gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
         terrain=terrain, v_int=world.ctrl.v_int,
+        pitch_ref=world.ctrl.pitch_ref,
     )
     u0 = sol.controls[0]
 
@@ -296,9 +312,12 @@ def art_closed_loop_tick(
             e2 = e2 + jnp.sum(jnp.maximum(tau * s2.qd, 0.0)) * ll_dt
             return (art_step(
                 model, s2, tau, ll_dt, n_substeps, terrain, Minv=Minv,
+                unroll=unroll,
             ), e2), None
 
-        carry, _ = jax.lax.scan(ll_step, (s, e), None, length=minv_ll_hold)
+        carry, _ = jax.lax.scan(
+            ll_step, (s, e), None, length=minv_ll_hold, unroll=ll_unroll
+        )
         return carry, None
 
     (sim_new, energy), _ = jax.lax.scan(
@@ -312,17 +331,19 @@ def art_closed_loop_tick(
     reset = dataclasses.replace(reset, t=sim_new.t)
     sim_next = jax.tree.map(lambda r, s: jnp.where(fell, r, s), reset, sim_new)
     from biped_mpc_py_tpu.control.controller import (
-        advance_cmd_ref, advance_v_int,
+        advance_cmd_ref, advance_pitch_ref, advance_v_int,
     )
 
     ref_next = advance_cmd_ref(world.ctrl.cmd_ref, x_fb, mpc)
     vi_next = advance_v_int(world.ctrl.v_int, x_fb, mpc)
+    pr_next = advance_pitch_ref(world.ctrl.pitch_ref, x_fb, mpc)
     ctrl_reset = ControllerState.init(mpc, dtype=sim.q.dtype)
     ctrl_next = jax.tree.map(
         lambda r, s: jnp.where(fell, r, s), ctrl_reset,
         ControllerState(
             qp=sol, cmd_ref=ref_next, v_int=vi_next,
             t_gait=jnp.asarray(t_g, sim.q.dtype), hold_count=hold,
+            pitch_ref=pr_next,
         ),
     )
     metrics = world.metrics.update(
@@ -341,6 +362,8 @@ def art_rollout_fn(
     n_substeps: int = 10,
     terrain=None,
     minv_ll_hold: int = 1,
+    unroll: int = 1,
+    ll_unroll: int = 1,
 ):
     """jit-able ``(world, biped) -> world`` articulated rollout closure.
 
@@ -353,7 +376,7 @@ def art_rollout_fn(
             return (
                 art_closed_loop_tick(
                     w, mpc, gait, biped, model, n_lowlevel, n_substeps,
-                    terrain, minv_ll_hold,
+                    terrain, minv_ll_hold, unroll, ll_unroll,
                 ),
                 None,
             )
@@ -381,6 +404,8 @@ def batched_art_rollout_terrain_fn(
     n_lowlevel: int = 8,
     n_substeps: int = 10,
     minv_ll_hold: int = 1,
+    unroll: int = 1,
+    ll_unroll: int = 1,
 ):
     """Batched articulated rollout with PER-ENV terrain:
     ``(world, biped, terrain) -> world`` where terrain is a batched
@@ -394,7 +419,7 @@ def batched_art_rollout_terrain_fn(
             return (
                 art_closed_loop_tick(
                     w, mpc, gait, biped, model, n_lowlevel, n_substeps,
-                    terrain, minv_ll_hold,
+                    terrain, minv_ll_hold, unroll, ll_unroll,
                 ),
                 None,
             )

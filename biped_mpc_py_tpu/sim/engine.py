@@ -267,6 +267,7 @@ def art_step(
     terrain=None,
     m_refresh: int = 1,
     Minv: jnp.ndarray | None = None,
+    unroll: int = 1,
 ) -> ArtState:
     """Advance one control period (tau held zero-order) with a substep scan.
 
@@ -281,6 +282,11 @@ def art_step(
     ``Minv``: optional externally-held mass-matrix inverse
     (:func:`mass_matrix_inv`) reused for the WHOLE step — the caller
     chooses the refresh cadence (e.g. once per 40 ms MPC tick).
+
+    ``unroll``: substep-scan unroll factor (numerics-identical — the same
+    ops in the same order; lets XLA fuse/schedule across substep
+    boundaries instead of paying per-iteration loop overhead on a chain
+    of tiny VPU ops).
     """
     sub_dt = dt / n_substeps
 
@@ -288,7 +294,9 @@ def art_step(
         def body_pre(s, _):
             return art_substep(model, s, tau, sub_dt, terrain, Minv), None
 
-        state, _ = jax.lax.scan(body_pre, state, None, length=n_substeps)
+        state, _ = jax.lax.scan(
+            body_pre, state, None, length=n_substeps, unroll=unroll
+        )
         return state
 
     if m_refresh <= 1:

@@ -23,6 +23,7 @@ from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.controller import (
     ControllerState,
     advance_cmd_ref,
+    advance_pitch_ref,
     advance_v_int,
 )
 from biped_mpc_py_tpu.control.gait import (
@@ -142,11 +143,11 @@ def run_mujoco_closed_loop(
 
     fb = jax.jit(lambda s: feedback_and_soles(model, s))
 
-    def _solve(x, t, pf, c, w, r, q, vi):
+    def _solve(x, t, pf, c, w, r, q, vi, pr):
         fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
         return solve_mpc(
             x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
-            foot_yaw=fy, v_int=vi, terrain=terrain,
+            foot_yaw=fy, v_int=vi, terrain=terrain, pitch_ref=pr,
         )
 
     solve = jax.jit(_solve)
@@ -196,7 +197,7 @@ def run_mujoco_closed_loop(
         contact = contact_sequence(t_used, mpc, gait_now)
         sol = solve(
             x_fb, t_used, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q,
-            ctrl.v_int
+            ctrl.v_int, ctrl.pitch_ref,
         )
         # low-level uses the SAME pre-advance cmd_ref as the solve — the
         # engine tick's semantics (art_closed_loop_tick); the anchor
@@ -206,6 +207,7 @@ def run_mujoco_closed_loop(
         ctrl = ControllerState(
             qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
             v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
+            pitch_ref=advance_pitch_ref(ctrl.pitch_ref, x_fb, mpc),
         )
         f_acc = np.zeros(2)
         for _ in range(N_LL):

@@ -126,6 +126,110 @@ def combo(cells=None):
     segmented(configs, labels, 6)
 
 
+def pitch2():
+    """Round-5 decay-spiral counters, screened from the diag trace
+    (tools/diag_run_decay.py): the decay's slow variable is pitch ANGLE
+    (the MPC drags the hop's natural +0.12 attitude to 0 and the foothold
+    lever grows with the pitch deficit). A-cells: reduce pitch position
+    authority / add rate damping (Q leaves). B-cells: pitch-angle
+    placement feedback (MpcConfig.raibert_pitch_place)."""
+    import jax.numpy as jnp
+
+    configs, labels = [], []
+    base, _ = art_config_for_run(1.2)
+    configs.append(base)
+    labels.append("baseline")
+    for qp in (5.0, 20.0):
+        for qw in (1.0, 10.0, 30.0):
+            m = dc.replace(
+                base, Q=base.Q.at[1].set(qp).at[7].set(qw)
+            )
+            configs.append(m)
+            labels.append(f"Qp={qp:.0f} Qw={qw:.0f}")
+    for kpp in (0.1, 0.2, 0.3):
+        m = dc.replace(
+            base, raibert_pitch_place=kpp, raibert_pitch_nom=0.12
+        )
+        configs.append(m)
+        labels.append(f"kpp={kpp}")
+    # combined: free-ish pitch + placement feedback
+    m = dc.replace(
+        base, Q=base.Q.at[1].set(20.0).at[7].set(10.0),
+        raibert_pitch_place=0.2, raibert_pitch_nom=0.12,
+    )
+    configs.append(m)
+    labels.append("Qp=20 Qw=10 kpp=0.2")
+    print("== pitch-spiral counters (30 s, vx=1.2 clock op point) ==")
+    segmented(configs, labels, 6)
+
+
+def p3():
+    """kpp refinement: pitch-angle placement (the first knob to hold
+    speed past 15 s) combined with an ALIGNED MPC pitch reference —
+    the placement term and the attitude regulator should agree on the
+    hop's natural nose-up equilibrium instead of fighting (baseline MPC
+    target 0 drags pitch down while kpp pulls the foothold back)."""
+    configs, labels = [], []
+
+    def cell(lab, vx=1.2, pref=0.0, **kw):
+        mpc, _ = art_config_for_run(vx, **kw)
+        if pref:
+            mpc = dc.replace(mpc, x_cmd=mpc.x_cmd.at[1].set(pref))
+        configs.append(mpc)
+        labels.append(lab)
+
+    cell("kpp.2 nom.12           ",
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12)
+    cell("kpp.2 nom.12 pref.06   ", pref=0.06,
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12)
+    cell("kpp.2 nom.12 pref.12   ", pref=0.12,
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12)
+    cell("kpp.15 nom.12          ",
+         raibert_pitch_place=0.15, raibert_pitch_nom=0.12)
+    cell("kpp.25 nom.12          ",
+         raibert_pitch_place=0.25, raibert_pitch_nom=0.12)
+    cell("kpp.2 nom.15           ",
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.15)
+    cell("kpp.2 nom.12 vint      ",
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12,
+         raibert_vint=0.3, cmd_v_int_gain=0.02, cmd_v_int_max=0.1,
+         cmd_v_int_ref_scale=0.0)
+    cell("kpp.2 nom.12 ret.02    ",
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12,
+         swing_retract=0.02)
+    cell("kpp.2 nom.12 vx1.0     ", vx=1.0,
+         raibert_pitch_place=0.2, raibert_pitch_nom=0.12)
+    print("== kpp + pitch-ref alignment (30 s) ==")
+    segmented(configs, labels, 6)
+
+
+def p4():
+    """Robust screen (5 perturbations/cell — the single-pert p3 screen
+    was seed-chaotic): pitch-angle placement (kpp) x the leaky pitch
+    reference (MpcConfig.pitch_ref_leak), 30 s."""
+    cells = [
+        ("base        ", 1.2, {}),
+        ("kpp.2/.15   ", 1.2,
+         dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15)),
+        ("leak.02     ", 1.2, dict(pitch_ref_leak=0.02)),
+        ("leak.05     ", 1.2, dict(pitch_ref_leak=0.05)),
+        ("kpp+leak.02 ", 1.2,
+         dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15,
+              pitch_ref_leak=0.02)),
+        ("kpp+lk 1.0  ", 1.0,
+         dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15,
+              pitch_ref_leak=0.02)),
+    ]
+    configs, labels = [], []
+    for lab, vx, kw in cells:
+        for pert in range(5):
+            mpc, _ = art_config_for_run(vx, **kw)
+            configs.append(mpc)
+            labels.append(f"{lab} p{pert}")
+    print("== p4: kpp x pitch-ref leak (30 s, 5 perts) ==")
+    segmented(configs, labels, 6)
+
+
 def long(cells=None):
     cells = cells or [(1.2, 0.14, 0.0)]
     configs, labels = [], []
@@ -148,5 +252,11 @@ if __name__ == "__main__":
         ret()
     if "combo" in groups:
         combo()
+    if "pitch2" in groups:
+        pitch2()
+    if "p3" in groups:
+        p3()
+    if "p4" in groups:
+        p4()
     if "long" in groups:
         long()
