@@ -182,6 +182,11 @@ def main() -> None:
         # the fully domain-randomized stress bench; falls auto-reset
         # in-batch and are reported)
         terrain_amp = float(os.environ.get("BENCH_TERRAIN", "0"))
+        # BENCH_ART_BACKEND=kernel: physics on the fused Pallas substep
+        # kernel (ops/pallas/substep_kernel.py) — one launch per low-level
+        # period instead of ~50 XLA kernels (flat ground, env-constant
+        # model; parity pinned by tests/test_substep_kernel.py)
+        art_backend = os.environ.get("BENCH_ART_BACKEND", "xla")
         if terrain_amp > 0:
             from biped_mpc_py_tpu.parallel.rollout_art import (
                 batched_art_rollout_terrain_fn,
@@ -200,6 +205,19 @@ def main() -> None:
                 )
             )
             fn = lambda w, b: tfn(w, b, terrains)
+        elif art_backend == "kernel":
+            from biped_mpc_py_tpu.parallel.rollout_art import (
+                batched_art_rollout_kernel_fn,
+            )
+
+            fn = jax.jit(
+                f32_precision(
+                    batched_art_rollout_kernel_fn(
+                        n_steps, mpc, gait, n_substeps=n_sub,
+                        minv_ll_hold=minv_hold,
+                    )
+                )
+            )
         else:
             fn = jax.jit(
                 f32_precision(

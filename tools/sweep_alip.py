@@ -20,7 +20,9 @@ the decay trajectory, not just the endpoint):
   combo   cross of the survivors, 30 s, 3 perturbations
   long    60 s x 5 perturbed seeds at chosen operating points
 
-Usage: python tools/sweep_alip.py [am|ret|combo|long ...] (CPU)
+Usage: python tools/sweep_alip.py [am|ret|combo|pitch2|p3|p4|p5|long ...]
+(CPU). pitch2/p3/p4 screen the pitch-spiral counters (leaky pitch ref +
+pitch-angle placement); p5 schedules the command to the attractor's reach.
 """
 
 import dataclasses as dc
@@ -230,6 +232,65 @@ def p4():
     segmented(configs, labels, 6)
 
 
+def segmented_sched(configs, labels, vx_sched, gait=None, key=7):
+    """Like :func:`segmented` but with a PER-SEGMENT commanded-speed
+    schedule (vx_sched: list of per-segment vx, one per segment, applied
+    to every cell). x_cmd is a dynamic leaf, so swapping it between
+    segment calls re-uses the compiled rollout."""
+    gait = gait or run_clock_gait()
+    biped = BipedParams()
+    mpc_batch, in_axes = stack_configs(configs)
+    worlds = perturbed_worlds(configs[0], len(configs), jax.random.PRNGKey(key))
+    fn = jax.jit(f32_precision(art_sweep_fn(SEG, gait, in_axes)))
+    t0 = time.time()
+    pos_hist, fall_hist = [], []
+    pos0 = np.array(jax.vmap(lambda s: s.torso_state()[3])(worlds.sim))
+    xc = mpc_batch.x_cmd
+    stacked = xc.ndim == 2
+    for vx in vx_sched:
+        if stacked:
+            xck = xc.at[:, 9].set(vx)
+        else:
+            xck = xc.at[9].set(vx)
+        mb = dc.replace(mpc_batch, x_cmd=xck)
+        worlds = fn(worlds, biped, mb)
+        jax.block_until_ready(worlds)
+        pos_hist.append(
+            np.array(jax.vmap(lambda s: s.torso_state()[3])(worlds.sim))
+        )
+        fall_hist.append(np.array(worlds.metrics.falls))
+    print(f"  ({time.time() - t0:.0f}s) sched={vx_sched}")
+    pos = np.stack([pos0] + pos_hist)
+    v_seg = np.diff(pos, axis=0) / (SEG * 0.04)
+    falls = fall_hist[-1]
+    for i, lab in enumerate(labels):
+        segs = " ".join(f"{v: .2f}" for v in v_seg[:, i])
+        print(f"  {lab}: falls={falls[i]:.0f} v/seg=[{segs}]")
+    sys.stdout.flush()
+    return v_seg, falls
+
+
+def p5():
+    """Command scheduling x kpp: the burst analysis says the fast
+    attractor's reach is ~0.9-1.0 — holding a 1.2 command over-drives
+    it. Spin up at 1.2 for 10 s, then settle to a within-reach command
+    (0.8/0.9) and measure whether the fast cycle SUSTAINS."""
+    for kw, tag in (
+        ({}, "base   "),
+        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.12), "kpp.12"),
+        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15), "kpp.15"),
+    ):
+        for sched in ([1.2] * 9, [1.2, 1.2] + [0.9] * 7,
+                      [1.2, 1.2] + [0.8] * 7):
+            configs, labels = [], []
+            for pert in range(5):
+                mpc, _ = art_config_for_run(1.2, **kw)
+                configs.append(mpc)
+                labels.append(f"{tag} p{pert}")
+            print(f"== p5 {tag} sched={sched[0]}->{sched[-1]} (45 s) ==")
+            segmented_sched(configs, labels, sched)
+
+
 def long(cells=None):
     cells = cells or [(1.2, 0.14, 0.0)]
     configs, labels = [], []
@@ -258,5 +319,7 @@ if __name__ == "__main__":
         p3()
     if "p4" in groups:
         p4()
+    if "p5" in groups:
+        p5()
     if "long" in groups:
         long()
