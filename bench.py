@@ -182,11 +182,14 @@ def main() -> None:
         # the fully domain-randomized stress bench; falls auto-reset
         # in-batch and are reported)
         terrain_amp = float(os.environ.get("BENCH_TERRAIN", "0"))
-        # BENCH_ART_BACKEND=kernel: physics on the fused Pallas substep
-        # kernel (ops/pallas/substep_kernel.py) — one launch per low-level
-        # period instead of ~50 XLA kernels (flat ground, env-constant
-        # model; parity pinned by tests/test_substep_kernel.py)
-        art_backend = os.environ.get("BENCH_ART_BACKEND", "xla")
+        # BENCH_ART_BACKEND: "kernel" (default where eligible) = physics on
+        # the fused Pallas substep kernel (ops/pallas/substep_kernel.py) —
+        # one launch per low-level period instead of ~50 XLA kernels
+        # (hardware: 65.9k vs 33.3k env-steps/s/chip at 1024 envs; parity
+        # pinned by tests/test_substep_kernel.py). Requires flat ground and
+        # whole 1024-env blocks; "xla" = the round-3/4 path.
+        default_backend = "kernel" if n_envs % 1024 == 0 else "xla"
+        art_backend = os.environ.get("BENCH_ART_BACKEND", default_backend)
         if terrain_amp > 0:
             from biped_mpc_py_tpu.parallel.rollout_art import (
                 batched_art_rollout_terrain_fn,

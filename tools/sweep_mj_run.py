@@ -73,7 +73,35 @@ def probe(vx: float, mh: int, seeds: int = 2, **kw):
         )
 
 
+def r5(vx: float = 1.0, mh: int = 2, seeds: int = 2):
+    """Round-5 yaw-mechanism battery (VERDICT item 2): the round-4 cells
+    were authority/excitation KNOBS; these are the three MECHANISMS the
+    spin-out diagnosis calls for — touchdown heading pre-rotation
+    (hipyaw_rate_lead), flight-phase reaction-wheel damping
+    (flight_yaw_kd), and steering by placement alone (tau_z_max -> ~0,
+    no planned yaw couple for stick friction to transmit)."""
+    base = dict(swing_height=0.06)
+    cells = [
+        ("base(apex.06)  ", {}),
+        ("lead.1         ", dict(hipyaw_rate_lead=0.1)),
+        ("lead.2         ", dict(hipyaw_rate_lead=0.2)),
+        ("fly1           ", dict(flight_yaw_kd=1.0)),
+        ("fly2           ", dict(flight_yaw_kd=2.0)),
+        ("tz.5           ", dict(tau_z_max=0.5)),
+        ("lead.1+fly1    ", dict(hipyaw_rate_lead=0.1, flight_yaw_kd=1.0)),
+        ("lead.1+tz.5    ", dict(hipyaw_rate_lead=0.1, tau_z_max=0.5)),
+        ("lead.1+fly1+tz ", dict(hipyaw_rate_lead=0.1, flight_yaw_kd=1.0,
+                                 tau_z_max=0.5)),
+    ]
+    for lab, kw in cells:
+        print(f"== r5 {lab} ==", flush=True)
+        probe(vx, mh, seeds=seeds, **{**base, **kw})
+
+
 if __name__ == "__main__":
-    vx = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    mh = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    probe(vx, mh)
+    if len(sys.argv) > 1 and sys.argv[1] == "r5":
+        r5(*[float(a) if "." in a else int(a) for a in sys.argv[2:3]] or [])
+    else:
+        vx = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+        mh = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        probe(vx, mh)
