@@ -98,8 +98,60 @@ def r5(vx: float = 1.0, mh: int = 2, seeds: int = 2):
         probe(vx, mh, seeds=seeds, **{**base, **kw})
 
 
+def probe_trace(vx: float, mh: int, seeds: int = 2, **kw):
+    """Like :func:`probe` but prints a tail trace of the feedback state
+    (yaw, pitch, roll, vx, vy, z every 3rd tick of the last 30) so the
+    FALL MODE is visible, not just the fall tick."""
+    mpc, gait = art_config_for_run(vx, **{**ORACLE, **kw})
+    gait = dc.replace(gait, contact_clock=True, clock_max_hold=mh)
+    model, biped = hector_model(), BipedParams()
+    for seed in range(seeds):
+        dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+        _, xs, fell = run_mujoco_closed_loop(
+            mpc, gait, 250, model=model, biped=biped, dq0=dq,
+        )
+        n = len(xs)
+        print(
+            f"  mj-run vx={vx} mh={mh} {kw} seed {seed}: "
+            f"{'FELL@' + str(n) if fell else 'ok'} x={xs[-1][3]:.2f} "
+            f"yaw={xs[-1][2]:+.2f}",
+            flush=True,
+        )
+        for i in range(max(0, n - 30), n, 3):
+            x = xs[i]
+            print(
+                f"    t{i:3d} yaw={x[2]:+.2f} pit={x[1]:+.2f} "
+                f"rol={x[0]:+.2f} vx={x[9]:+.2f} vy={x[10]:+.2f} "
+                f"z={x[5]:.3f}",
+                flush=True,
+            )
+
+
+def r5b(vx: float = 1.0, mh: int = 2):
+    """Body-frame command semantics for running: with a WORLD-frame
+    velocity command, any heading drift turns forward running into
+    (unstable) sideways running — the command itself couples yaw drift
+    into the fall. cmd_body_frame=True makes the velocity command follow
+    the heading (drift = benign curved running), the same semantics the
+    unified turn-in-place operating point uses."""
+    cells = [
+        ("bf             ", dict(cmd_body_frame=True)),
+        ("bf+lead.1      ", dict(cmd_body_frame=True,
+                                 hipyaw_rate_lead=0.1)),
+        ("bf+fly1        ", dict(cmd_body_frame=True, flight_yaw_kd=1.0)),
+        ("bf+lead+fly+tz ", dict(cmd_body_frame=True, hipyaw_rate_lead=0.1,
+                                 flight_yaw_kd=1.0, tau_z_max=0.5)),
+    ]
+    base = dict(swing_height=0.06)
+    for lab, kw in cells:
+        print(f"== r5b {lab} ==", flush=True)
+        probe_trace(vx, mh, seeds=2, **{**base, **kw})
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r5":
+    if len(sys.argv) > 1 and sys.argv[1] == "r5b":
+        r5b()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r5":
         r5(*[float(a) if "." in a else int(a) for a in sys.argv[2:3]] or [])
     else:
         vx = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
