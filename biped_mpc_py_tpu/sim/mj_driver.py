@@ -15,6 +15,8 @@ path is parallel/rollout_art.py).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -99,6 +101,7 @@ def run_mujoco_closed_loop(
     shove: tuple | None = None,
     terrain=None,
     gait_schedule: list | None = None,
+    cmd_schedule: list | None = None,
 ):
     """Closed loop in MuJoCo under the framework controller.
 
@@ -115,6 +118,9 @@ def run_mujoco_closed_loop(
     consumed ONLY by the host-level ``contact_sequence``, so a mode
     switch needs no re-jit; switching ``steps_per_phase`` mid-run is NOT
     supported (it is baked into the jitted reference lookaheads).
+    cmd_schedule: optional ``[(start_tick, x_cmd(12,)), ...]`` runtime
+    command switches (the joystick channel): x_cmd rides the jitted
+    control path as a dynamic argument, so swaps need no re-jit.
 
     Returns (per-tick per-foot forces (n,2), per-tick feedback states
     (n,12), fell).
@@ -143,23 +149,30 @@ def run_mujoco_closed_loop(
 
     fb = jax.jit(lambda s: feedback_and_soles(model, s))
 
-    def _solve(x, t, pf, c, w, r, q, vi, pr):
+    # x_cmd rides as a DYNAMIC argument so cmd_schedule swaps commands at
+    # runtime without re-jitting (the joystick channel a real deployment
+    # has; engine analog: parallel/sweep.py command segments)
+    def _solve(x, t, pf, c, w, r, q, vi, pr, xc):
+        mpc_t = dataclasses.replace(mpc, x_cmd=xc)
         fy = x[2] + q[jnp.array([0, 5])] if mpc.foot_frame_wrench else None
         return solve_mpc(
-            x, t, pf, mpc, biped, c, warm=w, gait=gait, cmd_ref=r,
+            x, t, pf, mpc_t, biped, c, warm=w, gait=gait, cmd_ref=r,
             foot_yaw=fy, v_int=vi, terrain=terrain, pitch_ref=pr,
         )
 
     solve = jax.jit(_solve)
     lowlvl = jax.jit(
-        lambda x, t, pf, q, qd, c, u0, r, vi: low_level_control(
-            x, t, pf, q, qd, mpc, biped, c, u0, gait=gait, cmd_ref=r,
-            terrain=terrain, v_int=vi,
+        lambda x, t, pf, q, qd, c, u0, r, vi, xc: low_level_control(
+            x, t, pf, q, qd, dataclasses.replace(mpc, x_cmd=xc), biped, c,
+            u0, gait=gait, cmd_ref=r, terrain=terrain, v_int=vi,
         )
     )
     ctrl = ControllerState.init(mpc)
     forces, xs = [], []
     t = 0.0
+    if cmd_schedule:
+        cmd_schedule = sorted(cmd_schedule, key=lambda e: e[0])
+    xc_now = mpc.x_cmd
     # contact-sensed gait clock (GaitConfig.contact_clock): host-side
     # mirror of control/gait.py::advance_gait_clock, with MuJoCo's REAL
     # contact normal forces as the touchdown signal (> 5 N)
@@ -177,6 +190,10 @@ def run_mujoco_closed_loop(
             for start, g in gait_schedule:
                 if k >= start:
                     gait_now = g
+        if cmd_schedule:
+            for start, xc in cmd_schedule:
+                if k >= start:
+                    xc_now = jnp.asarray(xc, jnp.float32)
         if shove is not None and k == shove[0]:
             # world-frame base-velocity impulse (MuJoCo free-joint linear
             # qvel is world-frame)
@@ -197,17 +214,18 @@ def run_mujoco_closed_loop(
         contact = contact_sequence(t_used, mpc, gait_now)
         sol = solve(
             x_fb, t_used, pf_w, contact, ctrl.qp, ctrl.cmd_ref, s.q,
-            ctrl.v_int, ctrl.pitch_ref,
+            ctrl.v_int, ctrl.pitch_ref, xc_now,
         )
         # low-level uses the SAME pre-advance cmd_ref as the solve — the
         # engine tick's semantics (art_closed_loop_tick); the anchor
         # advances for the NEXT tick only
         cmd_ref_now = ctrl.cmd_ref
         v_int_now = ctrl.v_int
+        mpc_now = dataclasses.replace(mpc, x_cmd=xc_now)
         ctrl = ControllerState(
-            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc),
-            v_int=advance_v_int(ctrl.v_int, x_fb, mpc),
-            pitch_ref=advance_pitch_ref(ctrl.pitch_ref, x_fb, mpc),
+            qp=sol, cmd_ref=advance_cmd_ref(ctrl.cmd_ref, x_fb, mpc_now),
+            v_int=advance_v_int(ctrl.v_int, x_fb, mpc_now),
+            pitch_ref=advance_pitch_ref(ctrl.pitch_ref, x_fb, mpc_now),
         )
         f_acc = np.zeros(2)
         for _ in range(N_LL):
@@ -217,7 +235,7 @@ def run_mujoco_closed_loop(
             x_j, pf_j = fb(s)
             tau = lowlvl(
                 x_j, s.t, pf_j, s.q, s.qd, contact, sol.controls[0],
-                cmd_ref_now, v_int_now,
+                cmd_ref_now, v_int_now, xc_now,
             )
             d.qfrc_applied[6:16] = np.array(tau)
             for _ in range(MJ_PER_LL):

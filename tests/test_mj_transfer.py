@@ -290,6 +290,59 @@ class TestSpeedTransfer:
         assert abs(x_mj - x_fw) < 0.8, (x_mj, x_fw)
 
 
+class TestRunningTransfer:
+    """MuJoCo RUNNING (round 5: the yaw spin-out defeated). The round-4
+    stack hopped 1.5-3 s in stick-friction MuJoCo then spun out in yaw;
+    the round-5 batteries (tools/sweep_mj_run.py r5-r5g) isolated THREE
+    composable mechanisms, each necessary (single-knob ablations fall at
+    1.5-3 s):
+
+      swing_land_frac 0.7   the swing descent lag left the sole 2-3 cm
+                            airborne at scheduled touchdown under stick
+                            contact — the terrain round's missed-
+                            touchdown cascade, at running cadence
+      flight_yaw_kd 1.0     flight-phase reaction-wheel hip-yaw damping
+                            (config.flight_yaw_kd): the only yaw channel
+                            with no foot down
+      ramped spin-up        0.4 -> 0.6 -> 0.8 m/s over 4 s (the
+                            cmd_schedule joystick channel): cold-start
+                            overdrive at a fixed 0.8 command excites the
+                            stick-friction yaw ratchet on 2/5 seeds
+                            before the gait is established
+
+    Battery: 5/5 perturbed seeds x 10 s zero-fall, heading held to
+    |yaw| <= 0.06 rad while GENUINELY hopping (p2f1 flight gait,
+    contact-sensed clock); unramped 20 s windows hold 3/3 (speed decays
+    to the slow-hop attractor but never falls). Pinned: 3 seeds x 10 s.
+    Reference bar: simulator compatibility, ``README.md:5-7``."""
+
+    RUN_MPC = dict(
+        tau_z_max=4.0, kp_hipyaw=3.0, kd_hipyaw=0.4, swing_td_damp=8.0,
+        swing_height=0.06, flight_yaw_kd=1.0, swing_land_frac=0.7,
+    )
+
+    def test_mujoco_running_10s_ramped(self):
+        from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_run
+        import dataclasses as dc
+
+        mpc, gait = art_config_for_run(0.8, **self.RUN_MPC)
+        gait = dc.replace(gait, contact_clock=True, clock_max_hold=2)
+
+        def xc(v):
+            return np.array(jnp.zeros(12).at[5].set(0.55).at[9].set(v))
+
+        sched = [(0, xc(0.4)), (50, xc(0.6)), (100, xc(0.8))]
+        for seed in range(3):
+            dq = 2e-3 * np.random.default_rng(seed).standard_normal(10)
+            _, xs, fell = run_mujoco_closed_loop(
+                mpc, gait, 250, model=MODEL, biped=BIPED, dq0=dq,
+                cmd_schedule=sched,
+            )
+            assert not fell, f"MuJoCo running fell (seed {seed})"
+            assert xs[-1, 3] > 4.5, (seed, xs[-1, 3])  # ~0.54 m/s net
+            assert abs(xs[-1, 2]) < 0.3, (seed, xs[-1, 2])  # heading held
+
+
 class TestTerrainTransfer:
     """BASELINE config 4's rough-terrain half under stick friction
     (round 3): the engine's height field exported as a MuJoCo hfield

@@ -271,14 +271,19 @@ def segmented_sched(configs, labels, vx_sched, gait=None, key=7):
 
 
 def p5():
-    """Command scheduling x kpp: the burst analysis says the fast
-    attractor's reach is ~0.9-1.0 — holding a 1.2 command over-drives
-    it. Spin up at 1.2 for 10 s, then settle to a within-reach command
-    (0.8/0.9) and measure whether the fast cycle SUSTAINS."""
+    """Command scheduling x mechanism cells: the burst analysis says the
+    fast attractor's reach is ~0.9-1.0 — holding a 1.2 command
+    over-drives it. Spin up at 1.2 for 10 s, then settle to a
+    within-reach command (0.8/0.9) and measure whether the fast cycle
+    SUSTAINS. lf.7 = swing_land_frac 0.7, the round-5 MuJoCo-running
+    unlock (earlier swing descent -> touchdowns land on schedule), cross-
+    checked here on the engine."""
     for kw, tag in (
         ({}, "base   "),
-        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.12), "kpp.12"),
-        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15), "kpp.15"),
+        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.12), "kpp.12 "),
+        (dict(swing_land_frac=0.7), "lf.7   "),
+        (dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.12,
+              swing_land_frac=0.7), "kpp+lf "),
     ):
         for sched in ([1.2] * 9, [1.2, 1.2] + [0.9] * 7,
                       [1.2, 1.2] + [0.8] * 7):

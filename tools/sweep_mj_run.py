@@ -231,8 +231,29 @@ def r5f():
         probe_trace(0.8, mh, seeds=5, trace=False, **kw)
 
 
+def r5g():
+    """Seeds 3-4 trace shows the yaw ratchet re-appearing during SPIN-UP
+    (yaw -0.16 -> -0.93 over 15 ticks) and the WORLD-frame command then
+    pushing the drifted body over sideways. Cells: body-frame command
+    composed WITH the lf.7 touchdown fix (r5b tested bf before lf.7
+    existed), and stance-pivot authority retried post-lf.7."""
+    g = dict(swing_height=0.06, flight_yaw_kd=1.0, swing_land_frac=0.7)
+    cells = [
+        ("bf+golden      ", {**g, "cmd_body_frame": True}),
+        ("bf+golden+lead ", {**g, "cmd_body_frame": True,
+                             "hipyaw_rate_lead": 0.1}),
+        ("golden kp_piv2 ", {**g, "kp_pivot": 2.0}),
+        ("golden kp_piv4 ", {**g, "kp_pivot": 4.0}),
+    ]
+    for lab, kw in cells:
+        print(f"== r5g {lab} ==", flush=True)
+        probe_trace(0.8, 2, seeds=5, trace=False, **kw)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r5f":
+    if len(sys.argv) > 1 and sys.argv[1] == "r5g":
+        r5g()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r5f":
         r5f()
     elif len(sys.argv) > 1 and sys.argv[1] == "r5e":
         r5e()
