@@ -356,3 +356,59 @@ def test_torsional_cone_disabled_is_bit_identical(tick_golden):
     np.testing.assert_allclose(
         np.array(sol24.controls), np.array(sol28.controls), atol=2e-4
     )
+
+
+def test_line_foot_rows_foot_frame_tilt_composition():
+    """Foot-frame rollover rows compose heading ON the measured attitude
+    (ops/qp.py::line_foot_rows, round 5): Rz(psi - yaw) @ R. Three pinned
+    identities: (a) zero hip-yaw reduces to the reference's body-aligned
+    rows (``bipedalLocomotionMPC.py:253-263``); (b) on a pure z-rotation
+    attitude it reduces to the round-3 pure-Rz(psi) form; (c) on a pitched
+    attitude the rows KEEP the tilt (the round-3 form lost it — the
+    documented flat-ground caveat this composition removes)."""
+    from biped_mpc_py_tpu.ops.qp import _rz, line_foot_rows
+    from biped_mpc_py_tpu.ops.rotations import eul2rotm
+
+    biped = BipedParams()
+    yaw = 0.4
+
+    # (a) zero hip-yaw on a tilted attitude == body-aligned rows
+    R_tilt = eul2rotm(jnp.array([0.1, 0.2, yaw], jnp.float32))
+    rows_none = np.array(line_foot_rows(biped, R_tilt))
+    rows_zero = np.array(
+        line_foot_rows(biped, R_tilt, foot_yaw=jnp.array([yaw, yaw]))
+    )
+    np.testing.assert_allclose(rows_zero, rows_none, atol=1e-6)
+
+    # (b) pure z-rotation attitude: per-foot rows == body-aligned rows
+    # evaluated at Rz(psi_foot)
+    psi = np.array([yaw + 0.3, yaw - 0.2], np.float32)
+    R_yaw = eul2rotm(jnp.array([0.0, 0.0, yaw], jnp.float32))
+    rows = np.array(line_foot_rows(biped, R_yaw, foot_yaw=jnp.asarray(psi)))
+    rows_l = np.array(
+        line_foot_rows(biped, eul2rotm(jnp.array([0.0, 0.0, psi[0]])))
+    )
+    rows_r = np.array(
+        line_foot_rows(biped, eul2rotm(jnp.array([0.0, 0.0, psi[1]])))
+    )
+    np.testing.assert_allclose(rows[:2], rows_l[:2], atol=1e-6)
+    np.testing.assert_allclose(rows[2:], rows_r[2:], atol=1e-6)
+
+    # (c) pitched attitude + hip-yaw: the heel row is built from the
+    # COMPOSED frame Rz(dpsi) @ R (keeps the pitch), not from the flat
+    # Rz(psi) frame
+    dpsi = 0.3
+    R_pitch = eul2rotm(jnp.array([0.0, 0.15, yaw], jnp.float32))
+    rows_t = np.array(
+        line_foot_rows(
+            biped, R_pitch, foot_yaw=jnp.array([yaw + dpsi, yaw + dpsi])
+        )
+    )
+    Rl = np.array(_rz(jnp.asarray(dpsi, jnp.float32))) @ np.array(R_pitch)
+    lh = float(biped.lh) - 0.02
+    np.testing.assert_allclose(rows_t[0, :3], -lh * Rl[:, 2], atol=1e-6)
+    np.testing.assert_allclose(rows_t[0, 6:9], Rl[:, 1], atol=1e-6)
+    rows_flat = np.array(
+        line_foot_rows(biped, eul2rotm(jnp.array([0.0, 0.0, yaw + dpsi])))
+    )
+    assert not np.allclose(rows_t[:2, :3], rows_flat[:2, :3], atol=1e-3)

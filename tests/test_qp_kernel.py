@@ -157,3 +157,46 @@ def test_kernel_reaches_oracle_quality():
     # a flat direction where converged ADMM+polish sits ~0.46 N off in both)
     assert err_pallas <= err_xla + 0.05, (err_pallas, err_xla)
     assert float(sol.res_prim[0]) < 1e-4  # and strictly feasible
+
+
+def test_cone_enabled_kernel_backends_agree():
+    """The CONE-ENABLED kernel config (mpc.mu_z set -> m_step=28, M_PAD=384)
+    agrees with the XLA solver at block_envs 1 AND 2 on realistic states.
+
+    Hardware note (v5e, round 5, tools/bench_cone_kernel.py @ 256 envs):
+    the M_PAD=384 kernel COMPILES and runs at both block_envs 1 and 2 —
+    the arithmetic-derived VMEM bound behind the auto block_envs=2 default
+    (ops/pallas/qp_kernel.py::fused_qp_solve) is confirmed feasible on the
+    chip; measured steady-state and backend agreement are recorded in
+    docs/DESIGN_NOTES.md ("Cone-enabled kernel on hardware").
+    """
+    mpc = MpcConfig(mu_z=0.06)
+    biped = BipedParams()
+    contact = contact_sequence(0.0, mpc, GaitConfig())
+    rng = np.random.default_rng(2)
+    n = 4
+    xs = jnp.asarray(
+        rng.normal(size=(n, 12)) * 0.01
+        + np.array([0, 0, 0, 0, 0, 0.53, 0, 0, 0, 0, 0, 0]),
+        jnp.float32,
+    )
+    foot = jnp.tile(
+        jnp.asarray([-0.02, 0.09, 0, -0.02, -0.09, 0], jnp.float32), (n, 1)
+    )
+    qp = jax.vmap(lambda x, f: build_mpc_qp(x, 0.0, f, mpc, biped, contact))(
+        xs, foot
+    )
+    assert qp.A_step.shape[-2:] == (28, 12)  # cone rows present
+    sol_x = solve_qp_batch(qp, mpc, backend="xla")
+    for be in (1, 2):
+        sol_p = solve_qp_batch(
+            qp, mpc, backend="pallas", interpret=True, block_envs=be
+        )
+        np.testing.assert_allclose(
+            np.array(sol_p.controls), np.array(sol_x.controls), atol=0.1,
+            err_msg=f"block_envs={be}",
+        )
+        np.testing.assert_allclose(
+            np.array(sol_p.res_prim), np.array(sol_x.res_prim), atol=5e-3,
+            err_msg=f"block_envs={be}",
+        )

@@ -26,7 +26,8 @@ import numpy as np
 from biped_mpc_py_tpu.config import GaitConfig, MpcConfig
 from biped_mpc_py_tpu.control.gait import contact_sequence
 from biped_mpc_py_tpu.models.biped import BipedParams
-from biped_mpc_py_tpu.ops.qp import build_mpc_qp, solve_qp_batch
+from biped_mpc_py_tpu.control.mpc import build_mpc_qp
+from biped_mpc_py_tpu.ops.qp import solve_qp_batch
 from biped_mpc_py_tpu.utils.precision import f32_precision
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
@@ -37,8 +38,12 @@ def main():
     biped = BipedParams()
     contact = contact_sequence(0.0, mpc, GaitConfig())
     rng = np.random.default_rng(0)
+    # 0.01-scale perturbations = realistic walking states the budget
+    # CONVERGES on (0.05-scale randoms leave res_prim ~0.2 where the two
+    # f32 rho-repick trajectories legitimately diverge — the round-1
+    # compare-SOLUTIONS lesson; timing is state-independent either way)
     xs = jnp.asarray(
-        rng.normal(size=(N, 12)) * 0.05
+        rng.normal(size=(N, 12)) * 0.01
         + np.array([0, 0, 0, 0, 0, 0.53, 0, 0, 0, 0, 0, 0]),
         jnp.float32,
     )
@@ -51,7 +56,7 @@ def main():
         )
     )
     qp = jax.block_until_ready(build(xs, foot))
-    m_tot = qp.A.shape[1]
+    m_tot = qp.A_step.shape[-2] * mpc.h  # 28 rows/step x h = 280
     print(f"envs={N} m_tot={m_tot} M_PAD={-(-m_tot // 128) * 128}", flush=True)
 
     sols = {}
@@ -81,11 +86,26 @@ def main():
             flush=True,
         )
 
+    # Per-env agreement: the batch max is dominated by the random TAIL envs
+    # whose ADMM did not converge at the fixed budget (two f32 solvers
+    # legitimately diverge there — the round-1 compare-SOLUTIONS lesson).
+    # The meaningful number is agreement over the CONVERGED envs.
+    res = np.array(sols["xla"].res_prim)
+    conv = res < 1e-2
+    print(
+        f"converged envs (xla res_prim < 1e-2): {int(conv.sum())}/{N}",
+        flush=True,
+    )
     for be in ("pallas_b1", "pallas_b2"):
-        d = float(
-            jnp.abs(sols[be].controls - sols["xla"].controls).max()
+        d = np.abs(
+            np.array(sols[be].controls) - np.array(sols["xla"].controls)
+        ).max(axis=(1, 2))
+        print(
+            f"{be} vs xla |controls| diff: median={np.median(d):.2e} "
+            f"p95={np.percentile(d, 95):.2e} max={d.max():.2e} "
+            f"max_converged={d[conv].max():.2e}",
+            flush=True,
         )
-        print(f"{be} vs xla: max|controls| diff = {d:.3e}", flush=True)
 
 
 if __name__ == "__main__":
