@@ -138,9 +138,24 @@ def art_config_for_speed(speed: float, **overrides):
     return mpc, gait_for_speed(s)
 
 
-def art_config_for_run(speed: float, **overrides):
+def art_config_for_run(speed: float, stabilized: bool = False, **overrides):
     """(MpcConfig, GaitConfig) for the RUNNING gait (flight_steps=1):
     aerial phases between stances (config.GaitConfig.flight_steps).
+
+    ``stabilized=True`` applies the round-5 stabilizer triple measured on
+    top of this base (tools/sweep_alip.py p5-p8): raibert_ff_scale 0.77
+    (permanent backward neutral shift — the p5 command-settle batteries
+    proved the fast cycle otherwise leans on the deficit-proportional
+    capture bias), raibert_pitch_place 0.2 @ nom 0.15 (pitch-spiral
+    counter), swing_land_frac 0.7 (on-schedule touchdowns). Measured
+    (engine, contact clock, 1.2 command, 32 perturbed seeds, 30 s —
+    individual outcomes at running cadence are batch-composition-chaos
+    sensitive, so only population statistics are meaningful): zero-fall
+    rate **22/32 vs 8/32** un-stabilized, and survivors hold realized
+    >= 0.77 through 15 s (12.8 m covered, vs 10.0 base). The
+    deterministic post-15 s speed decay remains in every cell
+    (DESIGN_NOTES round 5: the slow attractor is an architecture
+    equilibrium). Explicit ``overrides`` still win.
 
     The round-4 measured operating point (tools/sweep_run.py; engine,
     cold start, 10 s, +-2e-3 rad perturbations): p=2 f=1 cycle (0.08 s
@@ -162,6 +177,11 @@ def art_config_for_run(speed: float, **overrides):
         swing_land_frac=0.8, swing_y_offset=0.06, raibert_ff_scale=0.85,
         swing_track_ff=1.0,
     )
+    if stabilized:
+        kw.update(
+            raibert_ff_scale=0.77, raibert_pitch_place=0.2,
+            raibert_pitch_nom=0.15, swing_land_frac=0.7,
+        )
     kw.update(overrides)
     return (
         art_mpc_config(x_cmd=x_cmd, **kw),

@@ -224,6 +224,56 @@ def test_host_clock_mirrors_jitted_clock():
 
 
 @pytest.mark.slow
+def test_running_stabilized_population_statistics():
+    """Round-5 stabilized running op point (art_config_for_run
+    stabilized=True: ffs 0.77 + pitch-angle placement 0.2/0.15 + land
+    frac 0.7, on the contact clock). At running cadence INDIVIDUAL
+    outcomes flip on batch-composition f32 roundoff (measured: the same
+    seed zero-falls in one batch shape and falls in another), so the pin
+    is statistical: over 24 perturbed seeds x 30 s, the zero-fall count
+    must stay >= 12 (measured rate 22/32 = 69%, vs 8/32 = 25%
+    un-stabilized — the triple ~tripling the zero-fall rate is the
+    large-effect bar that survives chaos; tools/sweep_alip.py p5-p8 +
+    the 64-env battery in DESIGN_NOTES round 5), and the zero-fall
+    survivors must cover >= 11.5 m in the first 15 s (measured mean
+    12.8, min 12.7 — realized >= 0.77 sustained through 15 s, vs the
+    10.0 m base). The deterministic post-15 s decay into the slow
+    attractor remains — the architecture-equilibrium account is in
+    DESIGN_NOTES round 5."""
+    import dataclasses as dc
+
+    from biped_mpc_py_tpu.models.biped import BipedParams
+    from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_run
+    from biped_mpc_py_tpu.parallel.sweep import (
+        art_sweep_fn,
+        perturbed_worlds,
+        stack_configs,
+    )
+    from biped_mpc_py_tpu.utils.precision import f32_precision
+
+    n = 24
+    configs = [art_config_for_run(1.2, stabilized=True)[0]] * n
+    gait = dc.replace(
+        GaitConfig(steps_per_phase=2, flight_steps=1),
+        contact_clock=True, clock_max_hold=2,
+    )
+    biped = BipedParams()
+    mb, ax = stack_configs(configs)
+    w = perturbed_worlds(configs[0], n, jax.random.PRNGKey(29))
+    fn = jax.jit(f32_precision(art_sweep_fn(125, gait, ax)))
+    pos0 = np.array(jax.vmap(lambda s: s.torso_state()[3])(w.sim))
+    x15 = None
+    for seg in range(6):
+        w = fn(w, biped, mb)
+        if seg == 2:
+            x15 = np.array(jax.vmap(lambda s: s.torso_state()[3])(w.sim))
+    falls = np.array(w.metrics.falls)
+    ok = falls == 0
+    assert ok.sum() >= 12, (int(ok.sum()), falls)
+    assert (x15[ok] - pos0[ok]).min() > 11.5, x15[ok] - pos0[ok]
+
+
+@pytest.mark.slow
 def test_srb_running_gait():
     """Running on the SRB abstraction (the reference's own layer): p=2 f=1
     at a 0.8 m/s command covers > 6 m in 10 s with zero falls (probe grid:

@@ -296,6 +296,111 @@ def p5():
             segmented_sched(configs, labels, sched)
 
 
+def p6():
+    """ffs (permanent neutral-point shift) x round-5 stabilizers.
+
+    p5 verdict: every command-settle cell CRASHES — the fast cycle is
+    held up by the deficit-proportional capture bias (large |v - v_cmd|
+    keeps the foothold back), so it cannot survive at a reachable
+    command. Sustained running therefore needs a PERMANENT backward
+    neutral shift. Round 4 measured exactly that: ffs 0.75 sustains
+    ~0.98 but falls 3x (DESIGN_NOTES countermeasure list). Compose ffs
+    with the stabilizers built since, which target ffs's two failure
+    modes: kpp nom.15 (pitch spiral) and lf.7 (late touchdowns)."""
+    KPP = dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15)
+    cells = [
+        ("ffs.75           ", 1.2, dict(raibert_ff_scale=0.75)),
+        ("ffs.75 kpp       ", 1.2, dict(raibert_ff_scale=0.75, **KPP)),
+        ("ffs.75 lf.7      ", 1.2,
+         dict(raibert_ff_scale=0.75, swing_land_frac=0.7)),
+        ("ffs.75 kpp lf.7  ", 1.2,
+         dict(raibert_ff_scale=0.75, swing_land_frac=0.7, **KPP)),
+        ("ffs.72 kpp       ", 1.2, dict(raibert_ff_scale=0.72, **KPP)),
+        ("ffs.75 kpp v1.0  ", 1.0, dict(raibert_ff_scale=0.75, **KPP)),
+    ]
+    configs, labels = [], []
+    for lab, vx, kw in cells:
+        for pert in range(5):
+            mpc, _ = art_config_for_run(vx, **kw)
+            configs.append(mpc)
+            labels.append(f"{lab} p{pert}")
+    print("== p6: ffs x stabilizers (30 s, 5 perts) ==")
+    segmented(configs, labels, 6)
+
+
+def p7():
+    """MPC-cost cells: the decay could be the MPC's own trade (pitch
+    weight 100 vs vx weight 1 — velocity tracking rides only through the
+    re-anchored position ref). Boost direct vx tracking / cheapen fx,
+    on top of the best p6 stabilizer pair; plus the ffs 0.77/0.78
+    crosses p6 skipped."""
+    SK = dict(raibert_pitch_place=0.2, raibert_pitch_nom=0.15,
+              swing_land_frac=0.7)
+
+    def with_q(mpc, idx, val):
+        return dc.replace(mpc, Q=mpc.Q.at[idx].set(val))
+
+    cells = []
+    for lab, vx, kw, post in (
+        ("Qvx5            ", 1.2, {}, lambda m: with_q(m, 9, 5.0)),
+        ("Qvx5  kpp lf    ", 1.2, SK, lambda m: with_q(m, 9, 5.0)),
+        ("Qvx20 kpp lf    ", 1.2, SK, lambda m: with_q(m, 9, 20.0)),
+        ("Rfx-5 kpp lf    ", 1.2, SK,
+         lambda m: dc.replace(m, R=m.R.at[0].set(1e-5).at[3].set(1e-5))),
+        ("ffs.77 kpp lf   ", 1.2, dict(raibert_ff_scale=0.77, **SK),
+         None),
+        ("ffs.78 kpp lf   ", 1.2, dict(raibert_ff_scale=0.78, **SK),
+         None),
+    ):
+        cells.append((lab, vx, kw, post))
+    configs, labels = [], []
+    for lab, vx, kw, post in cells:
+        for pert in range(5):
+            mpc, _ = art_config_for_run(vx, **kw)
+            if post is not None:
+                mpc = post(mpc)
+            configs.append(mpc)
+            labels.append(f"{lab} p{pert}")
+    print("== p7: MPC-cost cells + ffs crosses (30 s, 5 perts) ==")
+    segmented(configs, labels, 6)
+
+
+def p8():
+    """Vertical-energy cells on the p7 winner (ffs.77 kpp lf: 5/5
+    zero-fall, >=0.76 for 15 s, then the same decay). The hop's energy
+    source is the MPC's z restitution against the CONSTANT 0.55 height
+    command (Q_z=700 damps the hop's own oscillation); these cells move
+    the energy balance: command height, Q_z, swing apex. 60 s so the
+    winner doubles as the long-window record."""
+    BASE = dict(raibert_ff_scale=0.77, raibert_pitch_place=0.2,
+                raibert_pitch_nom=0.15, swing_land_frac=0.7)
+
+    def with_q(mpc, idx, val):
+        return dc.replace(mpc, Q=mpc.Q.at[idx].set(val))
+
+    def with_z(mpc, z):
+        return dc.replace(mpc, x_cmd=mpc.x_cmd.at[5].set(z))
+
+    cells = [
+        ("base(ffs77 kpp lf)", {}, None),
+        ("z.57              ", {}, lambda m: with_z(m, 0.57)),
+        ("z.53              ", {}, lambda m: with_z(m, 0.53)),
+        ("Qz300             ", {}, lambda m: with_q(m, 5, 300.0)),
+        ("Qz1500            ", {}, lambda m: with_q(m, 5, 1500.0)),
+        ("apex.10           ", dict(swing_height=0.10), None),
+    ]
+    configs, labels = [], []
+    for lab, kw, post in cells:
+        for pert in range(5):
+            mpc, _ = art_config_for_run(1.2, **dict(BASE, **kw))
+            if post is not None:
+                mpc = post(mpc)
+            configs.append(mpc)
+            labels.append(f"{lab} p{pert}")
+    print("== p8: vertical-energy cells on ffs.77 kpp lf (60 s, 5 perts) ==")
+    segmented(configs, labels, 12)
+
+
 def long(cells=None):
     cells = cells or [(1.2, 0.14, 0.0)]
     configs, labels = [], []
@@ -326,5 +431,11 @@ if __name__ == "__main__":
         p4()
     if "p5" in groups:
         p5()
+    if "p6" in groups:
+        p6()
+    if "p7" in groups:
+        p7()
+    if "p8" in groups:
+        p8()
     if "long" in groups:
         long()
