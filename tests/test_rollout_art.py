@@ -181,6 +181,64 @@ def test_articulated_turning_fast_and_curved(setup):
 
 
 @pytest.mark.slow
+def test_articulated_sloped_turning_foot_frame_wrench(setup):
+    """Sloped-terrain turning: the tilt-composed foot-frame rollover rows
+    (round 5) help rather than hurt on a slope — the done-bar that
+    removed the round-3 flat-ground caveat (``ops/qp.line_foot_rows``).
+
+    Turn-in-place at 0.3 rad/s on a 15 % ramp tilts the planted feet with
+    the surface while hip-yaw rotates them relative to the body — exactly
+    the regime where the round-3 pure-Rz(psi) frame mis-oriented the
+    toe/heel axes. The round-5 form composes the heading ON the measured
+    attitude (Rz(psi−yaw)·R), keeping the tilt. Battery
+    (tools/sweep_slope_turn.py): ffw=on is 4/4 zero-fall with realized
+    wz ≈ +0.27 of the commanded +0.30; ffw=off falls in 2/4 perturbed
+    seeds at this slope. Pinned: on-flag capability (zero falls, ≥70 %
+    rate tracking) plus the comparative "helps, not hurts" direction.
+    Reference rows being re-framed: ``bipedalLocomotionMPC.py:253-263``.
+    """
+    from biped_mpc_py_tpu.parallel.rollout_art import art_config_for_turn
+    from biped_mpc_py_tpu.parallel.sweep import (
+        art_sweep_fn,
+        perturbed_worlds,
+        stack_configs,
+    )
+    from biped_mpc_py_tpu.sim.contact import Terrain
+    from biped_mpc_py_tpu.utils.precision import f32_precision
+
+    biped, _ = setup
+    slope, n_pert, seg = 0.15, 4, 125  # 2 x 5 s segments per flag
+    xs = np.linspace(-4.0, 4.0, 33)
+    terr = Terrain(
+        heights=jnp.asarray(np.tile(slope * xs, (33, 1)), jnp.float32),
+        extent=8.0,
+    )
+
+    def run(flag):
+        configs = [
+            art_config_for_turn(0.3, foot_frame_wrench=flag)[0]
+            for _ in range(n_pert)
+        ]
+        gait = art_config_for_turn(0.3, foot_frame_wrench=flag)[1]
+        mpc_batch, in_axes = stack_configs(configs)
+        worlds = perturbed_worlds(configs[0], n_pert, jax.random.PRNGKey(11))
+        fn = jax.jit(f32_precision(art_sweep_fn(seg, gait, in_axes,
+                                                terrain=terr)))
+        yaw0 = np.array(jax.vmap(lambda s: s.torso_state()[2])(worlds.sim))
+        for _ in range(2):
+            worlds = fn(worlds, biped, mpc_batch)
+        yaw = np.array(jax.vmap(lambda s: s.torso_state()[2])(worlds.sim))
+        return np.array(worlds.metrics.falls), (yaw - yaw0) / (2 * seg * 0.04)
+
+    falls_on, wz_on = run(True)
+    assert falls_on.sum() == 0, falls_on
+    assert (wz_on > 0.21).all(), wz_on  # >= 70% of the 0.30 rad/s command
+
+    falls_off, _ = run(False)
+    assert falls_on.sum() <= falls_off.sum(), (falls_on, falls_off)
+
+
+@pytest.mark.slow
 def test_articulated_lateral_stepping(setup):
     """BASELINE config 3's lateral half on the FULL articulated stack
     (round-3; round 2 only exercised lateral shoves): sustained sideways
