@@ -208,6 +208,23 @@ def main() -> None:
                 )
             )
             fn = lambda w, b: tfn(w, b, terrains)
+        elif art_backend == "tick":
+            # BENCH_ART_BACKEND=tick: the round-5 fused TICK kernel —
+            # low-level control AND physics in ONE launch per 40 ms tick
+            # (ops/pallas/tick_kernel.py; parity pinned by
+            # tests/test_tick_kernel.py). Implies minv_ll_hold =
+            # n_lowlevel (the bench default).
+            from biped_mpc_py_tpu.parallel.rollout_art import (
+                batched_art_rollout_tick_kernel_fn,
+            )
+
+            fn = jax.jit(
+                f32_precision(
+                    batched_art_rollout_tick_kernel_fn(
+                        n_steps, mpc, gait, n_substeps=n_sub,
+                    )
+                )
+            )
         elif art_backend == "kernel":
             from biped_mpc_py_tpu.parallel.rollout_art import (
                 batched_art_rollout_kernel_fn,

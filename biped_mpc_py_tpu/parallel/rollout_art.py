@@ -416,6 +416,67 @@ def batched_art_rollout_fn(
     return jax.vmap(art_rollout_fn(n_steps, mpc, gait, model, **kw))
 
 
+def _art_control_stage(world: ArtWorld, biped: BipedParams, mpc, gait, model):
+    """Per-env MPC stage of a kernel-path tick (shared by the substep- and
+    tick-kernel rollouts): feedback -> gait clock -> solve_mpc."""
+    from biped_mpc_py_tpu.sim.engine import feedback_and_soles
+
+    sim = world.sim
+    x_fb, pf_w = feedback_and_soles(model, sim)
+    if gait.contact_clock:
+        down = measured_contact(pf_w, None, gait)
+        t_g, hold = advance_gait_clock(
+            world.ctrl.t_gait, world.ctrl.hold_count, down, mpc, gait
+        )
+    else:
+        t_g, hold = sim.t, world.ctrl.hold_count
+    contact = contact_sequence(t_g, mpc, gait)
+    foot_yaw = (
+        x_fb[2] + sim.q[jnp.array([0, 5])]
+        if mpc.foot_frame_wrench else None
+    )
+    sol = solve_mpc(
+        x_fb, t_g, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
+        gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
+        v_int=world.ctrl.v_int, pitch_ref=world.ctrl.pitch_ref,
+    )
+    return x_fb, t_g, hold, contact, sol
+
+
+def _art_post_stage(world: ArtWorld, sim_new, energy, x_fb, sol, t_g, hold,
+                    mpc):
+    """Per-env fall-reset + controller-state advance + metrics (shared by
+    the kernel-path rollouts)."""
+    from biped_mpc_py_tpu.control.controller import (
+        advance_cmd_ref, advance_pitch_ref, advance_v_int,
+    )
+
+    z = sim_new.pos[2]
+    fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
+    reset = ArtState.standing(dtype=world.sim.q.dtype)
+    reset = dataclasses.replace(reset, t=sim_new.t)
+    sim_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), reset, sim_new
+    )
+    ref_next = advance_cmd_ref(world.ctrl.cmd_ref, x_fb, mpc)
+    vi_next = advance_v_int(world.ctrl.v_int, x_fb, mpc)
+    pr_next = advance_pitch_ref(world.ctrl.pitch_ref, x_fb, mpc)
+    ctrl_reset = ControllerState.init(mpc, dtype=world.sim.q.dtype)
+    ctrl_next = jax.tree.map(
+        lambda r, s: jnp.where(fell, r, s), ctrl_reset,
+        ControllerState(
+            qp=sol, cmd_ref=ref_next, v_int=vi_next,
+            t_gait=jnp.asarray(t_g, world.sim.q.dtype),
+            hold_count=hold, pitch_ref=pr_next,
+        ),
+    )
+    metrics = world.metrics.update(
+        sim_new.torso_state(), mpc.x_cmd, sol.controls[0],
+        sol.res_prim, fell.astype(z.dtype), energy=energy,
+    )
+    return ArtWorld(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
+
+
 def batched_art_rollout_kernel_fn(
     n_steps: int,
     mpc: MpcConfig,
@@ -437,11 +498,6 @@ def batched_art_rollout_kernel_fn(
     (tests/test_substep_kernel.py); closed-loop equivalence is pinned by
     the same walking-statistics protocol as the bench budget.
     """
-    from biped_mpc_py_tpu.control.controller import (
-        advance_cmd_ref,
-        advance_pitch_ref,
-        advance_v_int,
-    )
     from biped_mpc_py_tpu.ops.pallas.substep_kernel import fused_substeps
     from biped_mpc_py_tpu.sim.engine import (
         feedback_and_soles,
@@ -453,26 +509,7 @@ def batched_art_rollout_kernel_fn(
     ll_dt = mpc.dt / n_lowlevel
 
     def control_stage(world: ArtWorld, biped: BipedParams):
-        sim = world.sim
-        x_fb, pf_w = feedback_and_soles(model, sim)
-        if gait.contact_clock:
-            down = measured_contact(pf_w, None, gait)
-            t_g, hold = advance_gait_clock(
-                world.ctrl.t_gait, world.ctrl.hold_count, down, mpc, gait
-            )
-        else:
-            t_g, hold = sim.t, world.ctrl.hold_count
-        contact = contact_sequence(t_g, mpc, gait)
-        foot_yaw = (
-            x_fb[2] + sim.q[jnp.array([0, 5])]
-            if mpc.foot_frame_wrench else None
-        )
-        sol = solve_mpc(
-            x_fb, t_g, pf_w, mpc, biped, contact, warm=world.ctrl.qp,
-            gait=gait, cmd_ref=world.ctrl.cmd_ref, foot_yaw=foot_yaw,
-            v_int=world.ctrl.v_int, pitch_ref=world.ctrl.pitch_ref,
-        )
-        return x_fb, t_g, hold, contact, sol
+        return _art_control_stage(world, biped, mpc, gait, model)
 
     def lowlevel_stage(sim, t_g, t0, contact, u0, world, biped):
         x, pf = feedback_and_soles(model, sim)
@@ -484,30 +521,9 @@ def batched_art_rollout_kernel_fn(
         )
 
     def post_stage(world, sim_new, energy, x_fb, sol, t_g, hold):
-        z = sim_new.pos[2]
-        fell = jnp.logical_or(z < FALL_Z_MIN, z > FALL_Z_MAX)
-        reset = ArtState.standing(dtype=world.sim.q.dtype)
-        reset = dataclasses.replace(reset, t=sim_new.t)
-        sim_next = jax.tree.map(
-            lambda r, s: jnp.where(fell, r, s), reset, sim_new
+        return _art_post_stage(
+            world, sim_new, energy, x_fb, sol, t_g, hold, mpc
         )
-        ref_next = advance_cmd_ref(world.ctrl.cmd_ref, x_fb, mpc)
-        vi_next = advance_v_int(world.ctrl.v_int, x_fb, mpc)
-        pr_next = advance_pitch_ref(world.ctrl.pitch_ref, x_fb, mpc)
-        ctrl_reset = ControllerState.init(mpc, dtype=world.sim.q.dtype)
-        ctrl_next = jax.tree.map(
-            lambda r, s: jnp.where(fell, r, s), ctrl_reset,
-            ControllerState(
-                qp=sol, cmd_ref=ref_next, v_int=vi_next,
-                t_gait=jnp.asarray(t_g, world.sim.q.dtype),
-                hold_count=hold, pitch_ref=pr_next,
-            ),
-        )
-        metrics = world.metrics.update(
-            sim_new.torso_state(), mpc.x_cmd, sol.controls[0],
-            sol.res_prim, fell.astype(z.dtype), energy=energy,
-        )
-        return ArtWorld(sim=sim_next, ctrl=ctrl_next, metrics=metrics)
 
     def tick(worlds: ArtWorld, bipeds: BipedParams) -> ArtWorld:
         x_fb, t_g, hold, contact, sol = jax.vmap(
@@ -535,6 +551,73 @@ def batched_art_rollout_kernel_fn(
         return jax.vmap(post_stage)(
             worlds, sim, energy, x_fb, sol, t_g, hold
         )
+
+    def fn(worlds: ArtWorld, bipeds: BipedParams) -> ArtWorld:
+        def step(w, _):
+            return tick(w, bipeds), None
+
+        return jax.lax.scan(step, worlds, None, length=n_steps)[0]
+
+    return fn
+
+
+def batched_art_rollout_tick_kernel_fn(
+    n_steps: int,
+    mpc: MpcConfig,
+    gait: GaitConfig,
+    model: ArticulatedModel | None = None,
+    biped: BipedParams | None = None,
+    n_lowlevel: int = 8,
+    n_substeps: int = 5,
+):
+    """Batched articulated rollout with the WHOLE low-level+physics
+    hierarchy on the fused TICK kernel (ops/pallas/tick_kernel.py):
+    ``(worlds, bipeds) -> worlds``.
+
+    One kernel launch per 40 ms tick covers the 8 low-level periods
+    (in-kernel FK feedback + swing PD + Jacobian-transpose torque
+    mapping) AND their 5 physics substeps each; only the MPC layer
+    (references -> SRB -> condensed ADMM) and the per-tick Newton-Schulz
+    mass-matrix inverse stay on XLA. Replaces ~60 XLA launches per tick
+    with one.
+
+    Constraints (a superset of the substep-kernel path's): flat ground,
+    env-constant model AND biped AND MpcConfig (gains/geometry fold into
+    the kernel's instruction stream at factory time — the ``bipeds``
+    batch is still used by the MPC stage, but the in-kernel low-level
+    uses the factory ``biped``'s leg geometry), walking gaits
+    (flight_steps == 0), whole 1024-env blocks, Minv held across the
+    tick (minv_ll_hold == n_lowlevel semantics, the bench default).
+    Parity at f32+atan-poly roundoff is pinned by
+    tests/test_tick_kernel.py.
+    """
+    from biped_mpc_py_tpu.ops.pallas.tick_kernel import make_fused_tick
+    from biped_mpc_py_tpu.sim.engine import mass_matrix_inv
+
+    model = model or hector_model()
+    biped_const = biped or BipedParams()
+    tick_fn = make_fused_tick(
+        model, biped_const, mpc, gait, n_lowlevel, n_substeps
+    )
+
+    def tick(worlds: ArtWorld, bipeds: BipedParams) -> ArtWorld:
+        x_fb, t_g, hold, contact, sol = jax.vmap(
+            lambda w, b: _art_control_stage(w, b, mpc, gait, model)
+        )(worlds, bipeds)
+        sim = worlds.sim
+        u0 = sol.controls[:, 0]
+        c0 = contact[:, 0, 0:2]
+        t0 = sim.t if not gait.contact_clock else t_g
+        Minv = jax.vmap(lambda q: mass_matrix_inv(model, q))(sim.q)
+        sim_new, energy = tick_fn(
+            sim, u0, c0, t0, worlds.ctrl.cmd_ref[:, 2],
+            worlds.ctrl.v_int, Minv,
+        )
+        return jax.vmap(
+            lambda w, s, e, x, so, tg, h: _art_post_stage(
+                w, s, e, x, so, tg, h, mpc
+            )
+        )(worlds, sim_new, energy, x_fb, sol, t_g, hold)
 
     def fn(worlds: ArtWorld, bipeds: BipedParams) -> ArtWorld:
         def step(w, _):
