@@ -45,8 +45,8 @@ def fast_art_mpc(**kw):
     return art_mpc_config(**base)
 
 
-def probe(name, make_fn):
-    mpc = fast_art_mpc()
+def probe(name, make_fn, **mpc_kw):
+    mpc = fast_art_mpc(**mpc_kw)
     gait = GaitConfig()
     worlds = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (N_ENVS,) + jnp.shape(x)),
@@ -96,3 +96,31 @@ if __name__ == "__main__":
         ),
     )
     print(f"speedup: {eps_tick / eps_sub:.2f}x", flush=True)
+    # attribution deltas on the tick-kernel path (end-to-end variant
+    # deltas, the round-3 lesson): ADMM budget -> 1 iteration bounds the
+    # ADMM loop cost; QP-Kinv NS budget -> 1 bounds the KKT-inverse
+    # build (the sim mass-matrix NS(12) is fixed in engine.py)
+    tick = lambda mpc, gait: batched_art_rollout_tick_kernel_fn(
+        N_STEPS, mpc, gait
+    )
+    probe("tick admm1 abl", tick, n_admm_iters=1)
+    probe("tick ns1 abl  ", tick, kinv_ns_iters=1, kinv_bf16_iters=0)
+    probe(
+        "tick admm1+ns1", tick, n_admm_iters=1, kinv_ns_iters=1,
+        kinv_bf16_iters=0,
+    )
+    # kernel-shape ablations (timing-only; dynamics fidelity irrelevant):
+    # sub1 bounds the in-kernel substep arithmetic (8 periods x 1 substep);
+    # ll4/sub10 keeps 40 substeps but halves the in-kernel control evals
+    probe(
+        "tick sub1 abl ",
+        lambda mpc, gait: batched_art_rollout_tick_kernel_fn(
+            N_STEPS, mpc, gait, n_substeps=1
+        ),
+    )
+    probe(
+        "tick ll4 abl  ",
+        lambda mpc, gait: batched_art_rollout_tick_kernel_fn(
+            N_STEPS, mpc, gait, n_lowlevel=4, n_substeps=10
+        ),
+    )
