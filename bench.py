@@ -182,13 +182,21 @@ def main() -> None:
         # the fully domain-randomized stress bench; falls auto-reset
         # in-batch and are reported)
         terrain_amp = float(os.environ.get("BENCH_TERRAIN", "0"))
-        # BENCH_ART_BACKEND: "kernel" (default where eligible) = physics on
-        # the fused Pallas substep kernel (ops/pallas/substep_kernel.py) —
-        # one launch per low-level period instead of ~50 XLA kernels
-        # (hardware: 65.9k vs 33.3k env-steps/s/chip at 1024 envs; parity
-        # pinned by tests/test_substep_kernel.py). Requires flat ground and
-        # whole 1024-env blocks; "xla" = the round-3/4 path.
-        default_backend = "kernel" if n_envs % 1024 == 0 else "xla"
+        # BENCH_ART_BACKEND: "tick" (default where eligible) = the round-5
+        # fused TICK kernel — low-level control AND physics in ONE Pallas
+        # launch per 40 ms tick (ops/pallas/tick_kernel.py; hardware: 72.4k
+        # vs the substep kernel's 65.9k and the XLA path's 33.9k
+        # env-steps/s/chip at 1024 envs; parity pinned by
+        # tests/test_tick_kernel.py). Requires flat ground, whole 1024-env
+        # blocks, and the tick-held mass-matrix cadence (minv hold = 8
+        # low-level periods, the bench default). "kernel" = physics-only
+        # substep kernel (any minv hold); "xla" = the round-3/4 path.
+        if n_envs % 1024 == 0 and minv_hold == 8:
+            default_backend = "tick"
+        elif n_envs % 1024 == 0:
+            default_backend = "kernel"
+        else:
+            default_backend = "xla"
         art_backend = os.environ.get("BENCH_ART_BACKEND", default_backend)
         if terrain_amp > 0:
             from biped_mpc_py_tpu.parallel.rollout_art import (
